@@ -1,0 +1,57 @@
+"""Crawl configuration.
+
+Defaults mirror the reference's ``COLLECTION_CONFIG`` (reference
+``config.py:17-29``): request_delay=1s, max_links_per_page=50,
+max_urls_per_domain=10, max_depth=3, max_items=10,
+respect_robots_txt=True, http_user_agent='WorldMapper/1.0 (compatible)'.
+
+The reference's temporal politeness (``time.sleep(request_delay)`` per URL
+per worker, ``domain_collector.py:1411-1412``) is re-expressed as a
+*cardinality* budget per iteration: with an iteration wall target of
+``politeness_window_s`` seconds and a per-request delay of
+``request_delay_s``, at most ``floor(politeness_window_s / request_delay_s)``
+URLs of one registrable domain may be claimed per iteration (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # Reference defaults (config.py:17-29)
+    request_delay_s: float = 1.0
+    max_links_per_page: int = 50
+    max_urls_per_domain: int = 10
+    max_depth: int = 3
+    max_items: int = 10
+    respect_robots_txt: bool = True
+    http_user_agent: str = "WorldMapper/1.0 (compatible)"
+
+    # Engine-only knobs
+    politeness_window_s: float = 0.0  # 0 => politeness budget disabled (faithful claim mode)
+    salt_buckets: int = 16            # skew salt for per-domain windows (SURVEY.md §4.2)
+    bloom_expected_items: int = 1_000_000
+    bloom_fpp: float = 0.01
+    shuffle_partitions: int = 32
+
+    @property
+    def max_internal_links(self) -> int:
+        """25% of max links for internal (domain_collector.py:1026)."""
+        return max(1, self.max_links_per_page // 4)
+
+    @property
+    def max_external_links(self) -> int:
+        """Remaining slots for external (domain_collector.py:1027)."""
+        return self.max_links_per_page - self.max_internal_links
+
+    @property
+    def politeness_budget(self) -> int:
+        """Max URLs per registrable domain per iteration; 0 = unlimited."""
+        if self.politeness_window_s <= 0:
+            return 0
+        return max(1, int(self.politeness_window_s / self.request_delay_s))
+
+
+DEFAULT_CONFIG = CrawlConfig()

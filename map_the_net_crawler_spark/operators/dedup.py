@@ -1,0 +1,172 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families over ``documents(doc_id, text, ...)``, each designed
+for the 100 TB shape (hash-partitioned group-bys, band-bucketed joins —
+never an all-pairs comparison):
+
+- exact_dedup:         md5/xxhash group-by, keep min doc_id.
+- minhash_lsh_dedup:   shingle → minhash (k permutations, JVM-side
+                       xxhash64 with per-permutation seeds) → band
+                       buckets → candidate pairs via bucket self-join →
+                       verified Jaccard.
+- simhash_dedup:       64-bit simhash over shingle hashes via bit-vote
+                       aggregation in Column space; near-dups = equal
+                       simhash bands (Hamming blocking).
+- ngram_jaccard_pairs: exact n-gram Jaccard on candidate pairs.
+- embedding near-dup:  see similarity.py (cosine top-k).
+
+Scale notes: every stage keys its shuffle on (hash, band or bucket); a
+hot bucket (boilerplate shingles) is bounded by ``max_bucket`` to keep
+the self-join from going quadratic — the standard LSH guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(text) -> "F.Column":
+    return F.lower(F.regexp_replace(
+        F.regexp_replace(F.coalesce(text, F.lit("")), r"\s+", " "),
+        r"^\s+|\s+$", ""))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicates on normalized text: one survivor (min doc_id)
+    per content hash; returns (doc_id, content_hash, group_size,
+    is_survivor)."""
+    h = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    w = Window.partitionBy("content_hash")
+    return (docs.select("doc_id", h)
+            .withColumn("group_size", F.count("*").over(w))
+            .withColumn("min_doc_id", F.min("doc_id").over(w))
+            .select("doc_id", "content_hash", "group_size",
+                    (F.col("doc_id") == F.col("min_doc_id")).alias("is_survivor")))
+
+
+def shingles_col(text, n: int = 3):
+    """Word n-gram shingles of the normalized text (distinct)."""
+    words = F.filter(F.split(normalize_text(text), " "), lambda w: w != "")
+    k = F.size(words) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    return F.array_distinct(F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i, n))))
+
+
+def minhash_signature(docs: DataFrame, text_col: str = "text",
+                      n_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
+    """(doc_id, sig array<bigint>): sig[p] = min over shingles of
+    xxhash64(shingle, seed=p).  All JVM-side: explode → groupBy(doc) with
+    min aggs — one shuffle keyed by doc_id."""
+    sh = docs.select("doc_id",
+                     F.explode(shingles_col(F.col(text_col), shingle_n))
+                     .alias("shingle"))
+    aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(p))).alias(f"h{p}")
+            for p in range(n_hashes)]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select("doc_id",
+                      F.array(*[F.col(f"h{p}") for p in range(n_hashes)])
+                      .alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      n_hashes: int = 32, bands: int = 8,
+                      shingle_n: int = 3, jaccard_threshold: float = 0.5,
+                      max_bucket: int = 1000) -> DataFrame:
+    """Candidate near-dup pairs via banded minhash, verified with exact
+    shingle Jaccard.  Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(docs, text_col, n_hashes, shingle_n)
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.xxhash64(F.concat_ws(
+                ",", *[F.col("sig")[b * rows_per_band + r].cast("string")
+                       for r in range(rows_per_band)]))
+            for b in range(bands)])).alias("band", "bucket"))
+    # bound hot buckets (boilerplate) before the self-join
+    bucket_sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
+    banded = (banded.join(bucket_sizes, ["band", "bucket"])
+              .filter(F.col("bsz") <= max_bucket).drop("bsz"))
+    a = banded.select(F.col("band"), F.col("bucket"),
+                      F.col("doc_id").alias("doc_a"))
+    b = banded.select(F.col("band"), F.col("bucket"),
+                      F.col("doc_id").alias("doc_b"))
+    cand = (a.join(b, ["band", "bucket"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    # verify with exact Jaccard over shingle sets
+    sh = docs.select("doc_id", shingles_col(F.col(text_col), shingle_n)
+                     .alias("shingles"))
+    cand = (cand
+            .join(sh.select(F.col("doc_id").alias("doc_a"),
+                            F.col("shingles").alias("sh_a")), "doc_a")
+            .join(sh.select(F.col("doc_id").alias("doc_b"),
+                            F.col("shingles").alias("sh_b")), "doc_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (cand.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= jaccard_threshold))
+
+
+def simhash_col(text, n_bits: int = 64, shingle_n: int = 2):
+    """64-bit simhash: per-bit majority vote over shingle xxhash64 values,
+    computed with pure array expressions (bit i of the final hash = 1 iff
+    more shingle-hashes have bit i set than not)."""
+    sh = shingles_col(text, shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    bits = [
+        F.when(
+            F.size(F.filter(hashes,
+                            lambda h, i=i: h.bitwiseAND(F.lit(1 << i)) != 0))
+            * 2 > F.size(hashes), F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(n_bits)
+    ]
+    out = F.lit(0).cast("long")
+    for b in bits:
+        out = out.bitwiseOR(b.cast("long"))
+    return out
+
+
+def simhash_dedup(docs: DataFrame, text_col: str = "text",
+                  band_bits: int = 16) -> DataFrame:
+    """Near-dup grouping by simhash band equality (Hamming blocking on
+    64/band_bits bands).  Returns candidate pairs (doc_a, doc_b,
+    hamming_distance<=threshold upstream)."""
+    sh = docs.select("doc_id", simhash_col(F.col(text_col)).alias("simhash"))
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sh.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
+            for b in range(n_bands)])).alias("band", "key"))
+    a = banded.select("band", "key", F.col("doc_id").alias("doc_a"),
+                      F.col("simhash").alias("sim_a"))
+    b = banded.select("band", "key", F.col("doc_id").alias("doc_b"),
+                      F.col("simhash").alias("sim_b"))
+    pairs = (a.join(b, ["band", "key"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", "sim_a", "sim_b").distinct())
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.select("doc_a", "doc_b", ham.alias("hamming"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        shingle_n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs of a (pre-blocked) input —
+    used as the verification oracle for the LSH variants and directly on
+    small candidate sets."""
+    sh = docs.select("doc_id", shingles_col(F.col(text_col), shingle_n)
+                     .alias("shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (pairs.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))

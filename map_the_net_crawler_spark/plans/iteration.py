@@ -1,0 +1,345 @@
+"""One crawl iteration = one bounded-shuffle batch job (SURVEY.md §3.3/§7).
+
+The reference's sequential per-item loop (process_queue,
+domain_collector.py:1350-1412) becomes:
+
+  claim top-k  →  gates  →  fetch join vs pages snapshot  →  extract UDF
+  →  node build (+ enrichment joins)  →  link pipeline  →  edges merge
+  →  seen upsert  →  frontier merge  →  atomic snapshot commit
+
+Shuffle budget per iteration (SURVEY.md §4.3): the claim top-k
+(TakeOrderedAndProject — no global sort), the fetch join (broadcast of
+the ≤k-row batch against the pages scan), the link-pipeline windows
+(partitioned by source domain), and the dedup/merge of discoveries.
+Every other join broadcasts a batch-sized or dimension-sized side.
+
+Sequential-batch fidelity notes live in operators/frontier.py and
+operators/links.py; one addition here: the batch is deduplicated by
+domain (first claim rank wins) before fetching, because the reference
+always re-fetches the domain ROOT page — processing the same domain
+twice in one batch is observationally idempotent (same root page, same
+deterministic extraction; its duplicate discoveries are absorbed by the
+first-wins enqueue, its history upsert is a no-op).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import schemas as S
+from ..config import CrawlConfig
+from ..functions.classify import classify_domain
+from ..functions.extract import extract_pages
+from ..functions.robots import make_robots_udf
+from ..operators.enrich import enrich_batch
+from ..operators.frontier import (apply_claim_gates, claim_batch,
+                                  merge_discoveries)
+from ..operators.links import (build_relationships,
+                               discoveries_from_relationships,
+                               edges_from_relationships, filter_links)
+from ..operators.seen import seen_counts, upsert_seen
+from ..storage import TableIO
+
+
+@dataclass
+class CrawlInputs:
+    pages: DataFrame
+    robots: DataFrame
+    redirects: DataFrame
+    whois: DataFrame | None = None
+    dns: DataFrame | None = None
+    ssl: DataFrame | None = None
+    geo: DataFrame | None = None
+
+    @property
+    def enrich_enabled(self) -> bool:
+        return all(d is not None for d in (self.whois, self.dns, self.ssl, self.geo))
+
+
+@dataclass
+class IterationResult:
+    iteration: int
+    claimed: int
+    processed: int
+    skipped: int
+    new_urls: int
+    next_seq: int
+
+
+def _empty(spark: SparkSession, schema) -> DataFrame:
+    return spark.createDataFrame([], schema)
+
+
+_TRACE = os.environ.get("MTN_TRACE", "") == "1"
+
+
+class _Timer:
+    def __init__(self):
+        self.t = time.time()
+
+    def lap(self, label: str):
+        if _TRACE:
+            now = time.time()
+            print(f"    [stage {label}: {now - self.t:.2f}s]", flush=True)
+            self.t = now
+
+
+def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
+                  cfg: CrawlConfig, iteration: int, next_seq: int,
+                  politeness_budget: int = 0,
+                  salt_buckets: int = 1) -> IterationResult:
+    tmr = _Timer()
+    frontier = tio.read("frontier", S.FRONTIER)
+    seen = tio.read("seen", S.SEEN)
+    nodes = tio.read("nodes", S.NODES)
+    edges = tio.read("edges", S.EDGES)
+
+    # ---- claim + persist the batch (cuts lineage; the batch is reused
+    # by every downstream stage) --------------------------------------
+    claimed = claim_batch(frontier, cfg, politeness_budget, salt_buckets)
+    tio.write("claim", claimed, iteration)
+    tmr.lap("claim_write")
+    claimed = tio.read("claim", version=iteration)
+    n_claimed = claimed.count()
+    tmr.lap("claim_count")
+    if n_claimed == 0:
+        return IterationResult(iteration, 0, 0, 0, 0, next_seq)
+
+    scounts = seen_counts(seen)
+
+    # ---- robots decision per distinct claimed domain ------------------
+    robots_udf = make_robots_udf(cfg.http_user_agent)
+    domains = claimed.select("domain_name").distinct()
+    if cfg.respect_robots_txt:
+        robots_flags = (domains
+                        .join(F.broadcast(inputs.robots),
+                              domains.domain_name == inputs.robots.domain, "left")
+                        .select("domain_name",
+                                robots_udf(F.col("body"), F.col("status_code"),
+                                           F.lit("/")).alias("robots_allowed")))
+    else:
+        robots_flags = domains.withColumn("robots_allowed", F.lit(True))
+
+    # materialize the gated batch once: every downstream stage (fetch,
+    # nodes, links, seen, frontier, metrics) re-reads this ≤k-row parquet
+    # instead of re-executing the robots UDF + gate windows per action
+    gated = apply_claim_gates(claimed, scounts, robots_flags, cfg)
+    tio.write("gated", gated, iteration)
+    tmr.lap("gated_write")
+    gated = tio.read("gated", version=iteration)
+
+    to_process = gated.filter(F.col("gate_status") == "process")
+    # one fetch per domain; first claim rank represents the domain
+    w_dom = Window.partitionBy("domain_name").orderBy("claim_rank")
+    batch = (to_process.withColumn("_rn", F.row_number().over(w_dom))
+             .filter(F.col("_rn") == 1).drop("_rn")
+             .withColumnRenamed("claim_rank", "batch_rank"))
+
+    # records_history: robots allowed (blocked domains return before the
+    # record call, domain_collector.py:938-941; both page-found and
+    # page-missing paths record success/failed, :1290-1300)
+    processed_domains = batch.select(
+        "domain_name", "batch_rank",
+        F.col("robots_ok").alias("records_history"), "depth")
+
+    # ---- fetch join: batch (≤k rows, broadcast) vs pages snapshot -----
+    root = batch.withColumn("url", F.concat(F.lit("http://"),
+                                            F.col("domain_name")))
+    fetched = (F.broadcast(root.select("url", "domain_name", "batch_rank",
+                                       "depth", "robots_ok"))
+               .join(inputs.pages.select("url", "html"), "url", "left"))
+
+    extracted = extract_pages(fetched.select("url", "domain_name", "html"))
+    tio.write("extract", extracted, iteration)
+    tmr.lap("extract_write")
+    extracted = tio.read("extract", version=iteration)
+
+    binfo = batch.select("domain_name", "batch_rank", "depth", "robots_ok",
+                         F.col("seen_cnt").alias("_start_cnt"))
+
+    # ---- node rows (U1-U4, C6-C8, S9) ----------------------------------
+    meta = (extracted.filter(F.col("link_pos") == -1)
+            .join(F.broadcast(binfo), "domain_name", "left"))
+    vis = F.col("robots_ok") & F.col("fetch_ok")      # metadata needs robots
+    title = F.when(vis, F.col("title"))
+    desc = F.when(vis, F.col("description"))
+    favicon = F.when(vis, F.col("favicon_url"))
+    kw = F.when(F.col("fetch_ok"), F.col("meta_keywords"))  # keywords ignore robots
+    meta = meta.select(
+        "domain_name", "batch_rank",
+        title.alias("title"), desc.alias("description"),
+        favicon.alias("favicon_url"), kw.alias("meta_keywords"))
+    meta = (meta
+            .withColumn("_ct", classify_domain(F.col("title"),
+                                               F.col("description"),
+                                               F.col("domain_name"),
+                                               F.col("meta_keywords")))
+            .withColumn("category", F.col("_ct.category"))
+            .withColumn("tags", F.col("_ct.tags"))
+            .drop("_ct"))
+
+    if inputs.enrich_enabled:
+        meta = enrich_batch(meta, inputs.whois, inputs.dns, inputs.ssl,
+                            inputs.geo, nodes)
+    else:
+        meta = (meta
+                .withColumn("created_date", F.lit(None).cast("date"))
+                .withColumn("expiry_date", F.lit(None).cast("date"))
+                .withColumn("registrar", F.lit(None).cast("string"))
+                .withColumn("nameservers",
+                            F.lit(None).cast("array<string>"))
+                .withColumn("asn", F.lit(None).cast("string"))
+                .withColumn("asn_description", F.lit(None).cast("string"))
+                .withColumn("ssl_valid", F.lit(False))
+                .withColumn("ssl_expiry", F.lit(None).cast("date"))
+                .withColumn("country", F.lit(None).cast("string"))
+                .withColumn("ip_address", F.lit(None).cast("string"))
+                .withColumn("latitude", F.lit(None).cast("decimal(10,8)"))
+                .withColumn("longitude", F.lit(None).cast("decimal(11,8)")))
+
+    # F13 complete-data short-circuit (database.py:663-687): domains whose
+    # node already has title+description+ip skip the metadata update
+    complete = nodes.filter(F.col("title").isNotNull()
+                            & F.col("description").isNotNull()
+                            & F.col("ip_address").isNotNull()) \
+        .select("domain_name")
+    full_updates = (meta.join(F.broadcast(complete), "domain_name", "left_anti")
+                    .select(
+                        F.xxhash64("domain_name").alias("domain_id"),
+                        "domain_name", "title", "description", "favicon_url",
+                        "created_date", "expiry_date", "registrar",
+                        "nameservers", "asn", "asn_description",
+                        "ssl_valid", "ssl_expiry", "country", "ip_address",
+                        "latitude", "longitude", "category", "tags",
+                        F.lit(iteration).alias("updated_iteration")))
+    # materialize: the enrichment joins + 44-branch category chain are
+    # planned/executed once, not once per downstream table commit
+    tio.write("nodes_batch", full_updates, iteration)
+    tmr.lap("nodes_batch_write")
+    full_updates = tio.read("nodes_batch", version=iteration)
+
+    # ---- link pipeline (robots-gated, :938-941) ------------------------
+    link_rows = (extracted.filter(F.col("link_pos") >= 0)
+                 .join(F.broadcast(binfo), "domain_name", "inner")
+                 .filter(F.col("robots_ok"))
+                 .withColumnRenamed("batch_rank", "claim_rank")
+                 .withColumnRenamed("depth", "src_depth"))
+    valid = filter_links(link_rows)
+    rels = build_relationships(valid, inputs.redirects, scounts,
+                               processed_domains, cfg)
+    tio.write("rels", rels, iteration)
+    tmr.lap("rels_write")
+    rels = tio.read("rels", version=iteration)
+
+    edges_batch = edges_from_relationships(rels, iteration)
+    discoveries = discoveries_from_relationships(rels)
+
+    # ---- minimal node rows for targets + redirect finals (J2) ----------
+    touched = (rels.select(F.col("target_domain").alias("domain_name"))
+               .unionByName(rels.filter(F.col("redirect_final_domain").isNotNull())
+                            .select(F.col("redirect_final_domain")
+                                    .alias("domain_name")))
+               .distinct())
+    minimal = (touched
+               .join(nodes.select("domain_name"), "domain_name", "left_anti")
+               .join(full_updates.select("domain_name"), "domain_name", "left_anti")
+               .select(F.xxhash64("domain_name").alias("domain_id"),
+                       "domain_name",
+                       *[F.lit(None).cast(S.NODES[f].dataType).alias(f)
+                         for f in ("title", "description", "favicon_url",
+                                   "created_date", "expiry_date", "registrar",
+                                   "nameservers", "asn", "asn_description",
+                                   "ssl_valid", "ssl_expiry", "country",
+                                   "ip_address", "latitude", "longitude",
+                                   "category", "tags")],
+                       F.lit(iteration).alias("updated_iteration")))
+
+    nodes_next = (nodes
+                  .join(full_updates.select("domain_name"), "domain_name",
+                        "left_anti")
+                  .unionByName(full_updates)
+                  .unionByName(minimal))
+
+    # ---- edges merge (S10): last-writer-wins attrs per (src,dst,type) --
+    edges_next = (edges
+                  .join(edges_batch.select("src_domain", "dst_domain",
+                                           "relationship_type"),
+                        ["src_domain", "dst_domain", "relationship_type"],
+                        "left_anti")
+                  .unionByName(edges_batch))
+
+    # ---- seen upsert (S12) ---------------------------------------------
+    rel_counts = (rels.groupBy("domain_name")
+                  .agg((F.count("*")
+                        + F.sum(F.when(F.col("redirect_final_domain")
+                                       .isNotNull(), 1).otherwise(0))
+                        ).cast("int").alias("links_found")))
+    seen_new = (batch.filter(F.col("robots_ok"))
+                .join(F.broadcast(rel_counts), "domain_name", "left")
+                .join(F.broadcast(extracted.filter(F.col("link_pos") == -1)
+                                  .select("domain_name", "fetch_ok")),
+                      "domain_name", "left")
+                .select(
+                    F.concat(F.lit("http://"), F.col("domain_name")).alias("url"),
+                    "domain_name",
+                    F.when(F.col("fetch_ok"), F.lit("success"))
+                    .otherwise(F.lit("failed")).alias("status"),
+                    F.coalesce(F.col("links_found"), F.lit(0)).alias("links_found"),
+                    F.lit(iteration).alias("processed_iteration")))
+    seen_next = upsert_seen(seen, seen_new)
+
+    # ---- frontier update ------------------------------------------------
+    new_pending = merge_discoveries(frontier, discoveries, scounts,
+                                    processed_domains, cfg, next_seq,
+                                    iteration)
+    tio.write("new_pending", new_pending, iteration)
+    tmr.lap("new_pending_write")
+    new_pending = tio.read("new_pending", version=iteration)
+    n_new = new_pending.count()
+    tmr.lap("new_pending_count")
+
+    claimed_updates = gated.select(
+        "url", "domain_name", "source_domain", "priority",
+        F.when(F.col("gate_status") == "skipped", F.lit("skipped"))
+        .otherwise(F.lit("completed")).alias("status"),
+        "discovery_seq", "discovery_ts", "depth",
+        F.col("gate_reason").alias("error_message"),
+        F.lit(iteration).alias("processed_iteration"))
+    frontier_next = (frontier
+                     .join(claimed.select("url"), "url", "left_anti")
+                     .unionByName(claimed_updates)
+                     .unionByName(new_pending))
+
+    # ---- metrics (S13) ---------------------------------------------------
+    metrics = (batch.select(
+        F.lit(iteration).alias("iteration"), "domain_name",
+        F.concat(F.lit("http://"), F.col("domain_name")).alias("url"),
+        F.lit("completed").alias("status"),
+        F.lit(None).cast("int").alias("relationships_found"),
+        F.lit(None).cast("int").alias("urls_discovered"),
+        F.lit(None).cast("string").alias("error_message"),
+        F.lit("spark-engine").alias("agent_name")))
+
+    # ---- atomic commit ----------------------------------------------------
+    tio.write("frontier", frontier_next, iteration)
+    tmr.lap("frontier_write")
+    tio.write("seen", seen_next, iteration)
+    tmr.lap("seen_write")
+    tio.write("nodes", nodes_next, iteration)
+    tmr.lap("nodes_write")
+    tio.write("edges", edges_next, iteration)
+    tmr.lap("edges_write")
+    tio.write("metrics", metrics, iteration)
+    tmr.lap("metrics_write")
+    tio.write_meta({"iteration": iteration, "next_seq": next_seq + n_new})
+
+    n_proc = batch.count()
+    n_skip = gated.filter(F.col("gate_status") == "skipped").count()
+    tmr.lap("final_counts")
+    return IterationResult(iteration, n_claimed, n_proc, n_skip, n_new,
+                           next_seq + n_new)

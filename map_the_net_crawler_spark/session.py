@@ -1,0 +1,39 @@
+"""SparkSession factory with the engine's scale-oriented defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "map_the_net_crawler_spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None,
+              codegen: bool = True) -> SparkSession:
+    master = master or os.environ.get("SPARK_MASTER",
+                                      f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    cores = master.split("[")[-1].rstrip("]") if "[" in master else "32"
+    try:
+        n = int(cores) if cores != "*" else (os.cpu_count() or 8)
+    except ValueError:
+        n = 32
+    sp = shuffle_partitions or n
+    return (
+        SparkSession.builder
+        .master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the crawl pipeline's worst expressions (44-branch category CASE,
+        # 30-alternation filter regexes) cost minutes of janino compile at
+        # 10-row batch cardinality; interpreted eval is regex-bound anyway
+        .config("spark.sql.codegen.wholeStage", str(codegen).lower())
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .getOrCreate()
+    )
