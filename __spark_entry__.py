@@ -1,38 +1,758 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship crawl (seed → domain graph) on the
+committed deterministic fixtures and returns the edge table.
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (+ the training-data pipeline ops); ``oracle_sql()`` gives
+the DuckDB-equivalent ANSI SQL for every SQL-expressible one.  Crawl
+operators run over the committed fixtures in /root/repo/fixtures
+(referenced from SQL via read_parquet); document/embedding/TPC-H
+operators run over the driver's pre-registered sf views.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+FIXDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+def _fx(spark: SparkSession, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(FIXDIR, f"{name}.parquet"))
+
+
+def _sf(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ----------------------------------------------------------------------
+# flagship: the end-to-end crawl (SURVEY.md §7.1 M3 — "from seed S with
+# depth ≤ max_depth, what is the domain graph?")
+# ----------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    import tempfile
+
+    from map_the_net_crawler_spark import schemas as S
+    from map_the_net_crawler_spark.config import CrawlConfig
+    from map_the_net_crawler_spark.plans.crawl import run_crawl
+    from map_the_net_crawler_spark.plans.iteration import CrawlInputs
+    from map_the_net_crawler_spark.storage import TableIO
+
+    tio = TableIO(tempfile.mkdtemp(prefix="mtn_entry_"), spark)
+    inputs = CrawlInputs(
+        pages=_fx(spark, "pages"), robots=_fx(spark, "robots"),
+        redirects=spark.read.schema(S.REDIRECTS).parquet(
+            os.path.join(FIXDIR, "redirects.parquet")),
+        whois=_fx(spark, "whois"), dns=_fx(spark, "dns"),
+        ssl=_fx(spark, "ssl"), geo=_fx(spark, "geo"))
+    run_crawl(spark, tio, inputs, CrawlConfig(),
+              seeds=_fx(spark, "frontier_seed"), max_iterations=2)
+    edges = tio.read("edges", S.EDGES)
+    return edges.select("src_domain", "dst_domain", "relationship_type",
+                        "link_text", "link_url") \
+                .orderBy("src_domain", "dst_domain", "relationship_type")
+
+
+# ----------------------------------------------------------------------
+# queries — each callable takes (spark, sf_dir) and returns a DataFrame
+# ----------------------------------------------------------------------
+
+def q_frontier_claim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/W1: top-k frontier claim order (database.py:360-367)."""
+    f = _fx(spark, "frontier_seed")
+    w = Window.orderBy(F.col("priority").desc(), F.col("discovery_seq").asc(),
+                       F.col("url").asc())
+    return (f.filter(F.col("status") == "pending")
+            .withColumn("claim_rank", F.row_number().over(w))
+            .filter(F.col("claim_rank") <= 10)
+            .select("claim_rank", "url", "domain_name", "priority", "depth"))
+
+
+def q_frontier_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/A4: GREATEST(priority)/LEAST(depth) merge (database.py:321-323)."""
+    f = _fx(spark, "frontier_seed")
+    dup = f.select("url", (F.col("priority") + 2).alias("priority"),
+                   (F.col("depth") + 1).alias("depth"))
+    base = f.select("url", "priority", "depth")
+    return (base.unionByName(dup).groupBy("url")
+            .agg(F.max("priority").alias("priority"),
+                 F.min("depth").alias("depth")))
+
+
+def q_queue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: GROUP BY COUNT over the frontier (database.py:589-604)."""
+    return (_fx(spark, "frontier_seed")
+            .groupBy("status", "priority")
+            .agg(F.count("*").alias("cnt"),
+                 F.min("discovery_seq").alias("min_seq"),
+                 F.max("discovery_seq").alias("max_seq")))
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/C2: clean_url_for_queue + www-strip as Column regexes
+    (domain_collector.py:205-224, 992-995)."""
+    u = _fx(spark, "raw_urls")
+    scheme = F.regexp_extract("url", r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    netloc = F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    path = F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    clean = F.concat(scheme, F.lit("://"), netloc, path)
+    clean = F.when((F.length(clean) > 1) & clean.rlike("/$"),
+                   F.regexp_replace(clean, "/+$", "")).otherwise(clean)
+    domain = F.regexp_replace(F.lower(netloc), r"^www\.", "")
+    return u.select("url", clean.alias("clean_url"), domain.alias("domain"))
+
+
+def q_link_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F9 exclusion pipeline over flat link candidates
+    (domain_collector.py:144-203), regex-parsed so the same semantics run
+    in DuckDB; returns surviving links with their parse fields."""
+    lc = _fx(spark, "link_candidates")
+    netloc = F.regexp_extract("href", r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    path = F.regexp_extract("href", r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract("href", r"^[^?#]*\?([^#]*)", 1)
+    from map_the_net_crawler_spark.functions.filters import (_EXT_RE,
+                                                             _PATTERN_RE,
+                                                             _TRACKING_RE)
+    params = F.filter(F.split(query, "&"), lambda p: p != "")
+    pnames = F.transform(params, lambda p: F.regexp_extract(p, "^([^=]*)", 1))
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    text = F.coalesce(F.col("link_text"), F.lit(""))
+    keep = (
+        (netloc != "")
+        & ~F.lower(path).rlike(_EXT_RE)
+        & ~F.lower(F.col("href")).rlike(_PATTERN_RE)
+        & (F.size(params) <= 10)
+        & ~F.exists(pnames, lambda k: F.lower(k).rlike(_TRACKING_RE))
+        & (F.length("href") <= 500)
+        & (F.size(segs) <= 8)
+        & ~((F.size(segs) > 0) & F.lower(F.element_at(segs, 1)).isin(
+            "api", "admin", "assets", "static", "cdn", "images", "img",
+            "css", "js"))
+        & (F.length(F.regexp_replace(text, r"^\s+|\s+$", "")) >= 2)
+        & ~F.lower(F.regexp_replace(text, r"^\s+|\s+$", "")).isin(
+            "click here", "read more", "learn more", "continue", "next",
+            "previous")
+    )
+    return (lc.filter(keep)
+            .select("pos", "href", "link_text", "src_domain",
+                    F.regexp_replace(F.lower(netloc), r"^www\.", "")
+                    .alias("target_domain")))
+
+
+def q_domain_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 domain patterns + F10 format validation
+    (domain_collector.py:126-142, 1305-1312)."""
+    from map_the_net_crawler_spark.functions.filters import (_PATTERN_RE,
+                                                             domain_format_valid)
+    d = (_fx(spark, "link_candidates")
+         .select(F.regexp_replace(F.lower(F.regexp_extract(
+             "href", r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)),
+             r"^www\.", "").alias("domain"))
+         .filter(F.col("domain") != "").distinct())
+    return d.select(
+        "domain",
+        F.lower(F.col("domain")).rlike(_PATTERN_RE).alias("is_excluded"),
+        domain_format_valid(F.col("domain")).alias("is_valid"))
+
+
+def q_naive_main_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 naive last-2-labels main domain (domain_collector.py:226-232)."""
+    d = _fx(spark, "dns").select("domain")
+    parts = F.split("domain", r"\.")
+    main = F.when(F.size(parts) > 2,
+                  F.concat_ws(".", F.slice(parts, -2, 2))).otherwise(F.col("domain"))
+    return d.select("domain", main.alias("main_domain"),
+                    (F.size(parts) > 2).alias("is_subdomain"))
+
+
+def q_whois_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 three-format date normalization (database.py:177-192)."""
+    from map_the_net_crawler_spark.functions.classify import normalize_date
+    return (_fx(spark, "whois")
+            .select("domain",
+                    normalize_date(F.col("created_date_raw")).alias("created_date"),
+                    normalize_date(F.col("expiry_date_raw")).alias("expiry_date"),
+                    "registrar"))
+
+
+def q_dns_parent_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 parent-NS fallback via self-join (domain_collector.py:756-770)."""
+    dns = _fx(spark, "dns")
+    parts = F.split("domain", r"\.")
+    main = F.when(F.size(parts) > 2,
+                  F.concat_ws(".", F.slice(parts, -2, 2))).otherwise(F.col("domain"))
+    d = dns.select("domain", main.alias("main_domain"), "nameservers")
+    parent = dns.select(F.col("domain").alias("main_domain"),
+                        F.col("nameservers").alias("parent_ns"))
+    return (d.join(parent, "main_domain", "left")
+            .select("domain",
+                    F.coalesce(F.col("nameservers"), F.col("parent_ns"))
+                    .alias("effective_ns"))
+            .withColumn("effective_ns",
+                        F.coalesce(F.col("effective_ns"), F.array()))
+            .select("domain",
+                    F.concat_ws(",", "effective_ns").alias("nameservers_csv")))
+
+
+def q_redirect_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5/J6 redirect predicate incl. protocol-only exemption
+    (domain_collector.py:1088-1113)."""
+    r = _fx(spark, "redirects")
+    orig_netloc = F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    orig_scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    fin_netloc = F.regexp_extract("final_url", r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    fin_scheme = F.lower(F.regexp_extract("final_url", r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    orig_d = F.regexp_replace(F.lower(orig_netloc), r"^www\.", "")
+    fin_d = F.regexp_replace(F.lower(fin_netloc), r"^www\.", "")
+    protocol_only = (fin_d == orig_d) & (orig_scheme != fin_scheme)
+    is_redirect = ((F.col("status_code") >= 300) & (F.col("status_code") < 400)
+                   & (fin_d != "") & (fin_d != orig_d) & ~protocol_only)
+    return r.select("url", "final_url", "status_code",
+                    fin_d.alias("final_domain"),
+                    is_redirect.alias("is_redirect"))
+
+
+def q_per_page_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/W3 document-order dedup + caps (domain_collector.py:1023-1186)
+    over the flat link candidates: first 12 unique targets per source in
+    position order."""
+    lc = _fx(spark, "link_candidates")
+    netloc = F.regexp_extract("href", r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    tgt = F.regexp_replace(F.lower(netloc), r"^www\.", "")
+    df = lc.select("src_domain", "pos", "href", tgt.alias("target_domain")) \
+           .filter(F.col("target_domain") != "")
+    w_dedup = Window.partitionBy("src_domain", "target_domain").orderBy("pos")
+    df = (df.withColumn("rn", F.row_number().over(w_dedup))
+          .filter(F.col("rn") == 1).drop("rn"))
+    w_cap = Window.partitionBy("src_domain").orderBy("pos")
+    return (df.withColumn("cap_rank", F.row_number().over(w_cap))
+            .filter(F.col("cap_rank") <= 12)
+            .select("src_domain", "cap_rank", "pos", "target_domain"))
+
+
+def q_category_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 first-match category chain (domain_collector.py:318-417) as
+    Column CASE over document text prefixes (order-sensitive)."""
+    from map_the_net_crawler_spark.functions.classify import category_col
+    docs = _sf(spark, sf_dir, "documents")
+    snippet = F.substring("text", 1, 80)
+    return docs.select(
+        "doc_id",
+        category_col(snippet, F.lit(""), F.lit("example.com")).alias("category"))
+
+
+def q_tags_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 tag derivation (domain_collector.py:419-451) as Column arrays,
+    comma-joined for oracle comparison."""
+    from map_the_net_crawler_spark.functions.classify import tags_col
+    d = _fx(spark, "dns").select("domain")
+    return d.select(
+        "domain",
+        F.concat_ws(",", tags_col(F.lit("Kw1, kw2 ,"), F.col("domain"),
+                                  F.lit("misc"))).alias("tags_csv"))
+
+
+# ---- crawl end-to-end (non-SQL-expressible: python-oracle tested) -----
+
+def q_crawl_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full iterative crawl → domain-graph edges (rows-only check here;
+    exactness vs the sequential reference oracle in tests/)."""
+    return entry(spark)
+
+
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1-U6 extract UDF; byte-identity vs pages.text is asserted — the
+    count of non-identical rows must be zero (rows-only driver check;
+    pytest asserts equality per url)."""
+    from map_the_net_crawler_spark.functions.extract import extract_pages
+    pages = _fx(spark, "pages")
+    ex = extract_pages(pages.select("url", F.lit("d").alias("domain_name"),
+                                    "html"))
+    meta = ex.filter(F.col("link_pos") == -1).select("url", F.col("text").alias("extracted"))
+    return (pages.select("url", "text").join(meta, "url")
+            .select("url", (F.col("text") == F.col("extracted")).alias("text_identical")))
+
+
+def q_robots_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U7 robots UDF decisions per fixture domain (rows-only; unit tests
+    pin every parser quirk)."""
+    from map_the_net_crawler_spark.functions.robots import make_robots_udf
+    udf = make_robots_udf("WorldMapper/1.0 (compatible)")
+    r = _fx(spark, "robots")
+    return r.select("domain",
+                    udf(F.col("body"), F.col("status_code"), F.lit("/"))
+                    .alias("allowed"))
+
+
+def q_psl_registrable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 PSL-aware registrable-domain UDF (rows-only; PSL snapshot)."""
+    from map_the_net_crawler_spark.functions.classify import psl_extract
+    d = (_fx(spark, "link_candidates")
+         .select(F.regexp_replace(F.lower(F.regexp_extract(
+             "href", r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)),
+             r"^www\.", "").alias("domain"))
+         .filter(F.col("domain") != "").distinct())
+    return (d.select("domain", psl_extract(F.col("domain")).alias("psl"))
+            .select("domain", F.col("psl.subdomain").alias("subdomain"),
+                    F.col("psl.domain").alias("registrable"),
+                    F.col("psl.suffix").alias("suffix")))
+
+
+# ---- TPC-H-ish / events (pre-registered views) -------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-class aggregation baseline (TPC-H Q1 shape) on lineitem."""
+    li = _sf(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+                 F.count("*").alias("count_order")))
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5-style multi-hop equi joins + agg."""
+    li = _sf(spark, sf_dir, "lineitem")
+    o = _sf(spark, sf_dir, "orders")
+    c = _sf(spark, sf_dir, "customer")
+    n = _sf(spark, sf_dir, "nation")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4).alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-class: top-3 events per user by value (claim-order window shape)."""
+    e = _sf(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(),
+                                              F.col("event_id").asc())
+    return (e.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("user_id", "rnk", "event_id", "event_type",
+                    F.round("value", 6).alias("value")))
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-equivalent tumbling-window agg in batch form
+    (streaming/events.windowed_counts semantics)."""
+    e = _sf(spark, sf_dir, "events")
+    return (e.groupBy(F.date_trunc("hour", "ts").alias("window_start"),
+                      "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+# ---- training-data pipeline ops ----------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_the_net_crawler_spark.operators.dedup import exact_dedup
+    return exact_dedup(_sf(spark, sf_dir, "documents"))
+
+
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_the_net_crawler_spark.functions.text import (
+        punct_ratio_col, stopword_ratio_col, token_count_col)
+    docs = _sf(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        F.round(stopword_ratio_col(F.col("text"), "en"), 6).alias("stopword_ratio"),
+        F.round(punct_ratio_col(F.col("text")), 6).alias("punct_ratio"),
+        F.length("text").alias("n_chars"))
+
+
+def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID + quality score (rows-only: composite heuristics)."""
+    from map_the_net_crawler_spark.functions.text import (language_id_col,
+                                                          quality_score_col)
+    docs = _sf(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       language_id_col(F.col("text")).alias("lang_id"),
+                       quality_score_col(F.col("text")).alias("quality_score"))
+
+
+def q_word_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram (n=1) Jaccard near-dup pairs, SQL-checkable variant."""
+    from map_the_net_crawler_spark.operators.dedup import ngram_jaccard_pairs
+    docs = _sf(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return ngram_jaccard_pairs(docs, shingle_n=1, threshold=0.3)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (rows-only: xxhash64-based)."""
+    from map_the_net_crawler_spark.operators.dedup import minhash_lsh_pairs
+    docs = _sf(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return minhash_lsh_pairs(docs, n_hashes=16, bands=8, shingle_n=2,
+                             jaccard_threshold=0.2)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (rows-only: xxhash64-based)."""
+    from map_the_net_crawler_spark.operators.dedup import simhash_dedup
+    docs = _sf(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash_dedup(docs).filter(F.col("hamming") <= 16)
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embeddings table."""
+    from map_the_net_crawler_spark.operators.similarity import \
+        brute_force_cosine_topk
+    emb = _sf(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return brute_force_cosine_topk(queries_df, emb, k=5)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (rows-only; recall vs brute force in tests)."""
+    from map_the_net_crawler_spark.operators.similarity import lsh_bucketed_topk
+    emb = _sf(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return lsh_bucketed_topk(queries_df, emb, dim=dim, k=5, n_planes=4)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload → deterministic stub features
+    (rows-only; the decode is stubbed, the Spark plumbing is real)."""
+    from map_the_net_crawler_spark.functions.multimodal import \
+        extract_media_features
+    docs = _sf(spark, sf_dir, "documents").limit(100)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"))
+    return extract_media_features(media, dim=8) \
+        .select("media_id", "media_type", "feature_dim", "decode_ok")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q_frontier_claim": q_frontier_claim,
+        "q_frontier_merge": q_frontier_merge,
+        "q_queue_stats": q_queue_stats,
+        "q_url_canonicalize": q_url_canonicalize,
+        "q_link_filter": q_link_filter,
+        "q_domain_exclusion": q_domain_exclusion,
+        "q_naive_main_domain": q_naive_main_domain,
+        "q_whois_dates": q_whois_dates,
+        "q_dns_parent_fallback": q_dns_parent_fallback,
+        "q_redirect_classify": q_redirect_classify,
+        "q_per_page_caps": q_per_page_caps,
+        "q_category_classify": q_category_classify,
+        "q_tags_derive": q_tags_derive,
+        "q_crawl_edges": q_crawl_edges,
+        "q_extract_text": q_extract_text,
+        "q_robots_decisions": q_robots_decisions,
+        "q_psl_registrable": q_psl_registrable,
+        "q_pricing_summary": q_pricing_summary,
+        "q_revenue_by_nation": q_revenue_by_nation,
+        "q_top_events_per_user": q_top_events_per_user,
+        "q_events_hourly": q_events_hourly,
+        "q_dedup_exact": q_dedup_exact,
+        "q_text_metrics": q_text_metrics,
+        "q_lang_quality": q_lang_quality,
+        "q_word_jaccard": q_word_jaccard,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_simhash": q_simhash,
+        "q_ann_cosine": q_ann_cosine,
+        "q_ann_lsh": q_ann_lsh,
+        "q_media_features": q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_FIX = "/root/repo/fixtures"
+
+
+def _sql_category_case(lowered_expr: str) -> str:
+    """DuckDB CASE chain generated from the same rules.CATEGORY_RULES the
+    Spark Column/UDF variants use — cannot drift."""
+    import re as _re
+
+    from map_the_net_crawler_spark.rules import CATEGORY_RULES, DEFAULT_CATEGORY
+    whens = []
+    for cat, words in CATEGORY_RULES:
+        pat = "|".join(_re.escape(w) for w in words)
+        whens.append(f"WHEN regexp_matches({lowered_expr}, '{pat}') THEN '{cat}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{DEFAULT_CATEGORY}' END"
+
+
+def _sql_rules() -> tuple[str, str, str]:
+    import re as _re
+
+    from map_the_net_crawler_spark.rules import (EXCLUDED_EXTENSIONS,
+                                                 EXCLUDED_PATTERNS,
+                                                 TRACKING_PARAM_SUBSTRINGS)
+    ext_re = "(" + "|".join(_re.escape(e) for e in EXCLUDED_EXTENSIONS) + ")$"
+    pattern_re = "|".join(f"({p})" for p in EXCLUDED_PATTERNS)
+    tracking_re = "|".join(_re.escape(t) for t in TRACKING_PARAM_SUBSTRINGS)
+    return ext_re, pattern_re, tracking_re
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ext_re, pattern_re, tracking_re = _sql_rules()
+    netloc_x = "regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)"
+    path_x = "regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+    query_x = "regexp_extract(href, '^[^?#]*\\?([^#]*)', 1)"
+    return {
+        "q_link_filter": f"""
+            WITH l AS (
+              SELECT pos, href, link_text, src_domain,
+                {netloc_x} AS netloc, {path_x} AS path, {query_x} AS query
+              FROM read_parquet('{_FIX}/link_candidates.parquet')),
+            p AS (
+              SELECT *,
+                list_filter(string_split(query, '&'), x -> x <> '') AS params,
+                list_filter(string_split(path, '/'), x -> x <> '') AS segs,
+                regexp_replace(coalesce(link_text, ''), '^\\s+|\\s+$', '', 'g') AS txt
+              FROM l)
+            SELECT pos, href, link_text, src_domain,
+              regexp_replace(lower(netloc), '^www\\.', '') AS target_domain
+            FROM p
+            WHERE netloc <> ''
+              AND NOT regexp_matches(lower(path), '{ext_re}')
+              AND NOT regexp_matches(lower(href), '{pattern_re}')
+              AND len(params) <= 10
+              AND len(list_filter(params, x -> regexp_matches(
+                    lower(regexp_extract(x, '^([^=]*)', 1)), '{tracking_re}'))) = 0
+              AND length(href) <= 500
+              AND len(segs) <= 8
+              AND NOT (len(segs) > 0 AND list_contains(
+                    ['api','admin','assets','static','cdn','images','img','css','js'],
+                    lower(segs[1])))
+              AND length(txt) >= 2
+              AND NOT list_contains(
+                    ['click here','read more','learn more','continue','next','previous'],
+                    lower(txt))
+        """,
+        "q_domain_exclusion": f"""
+            WITH d AS (
+              SELECT DISTINCT regexp_replace(lower({netloc_x}), '^www\\.', '') AS domain
+              FROM read_parquet('{_FIX}/link_candidates.parquet'))
+            SELECT domain,
+              regexp_matches(lower(domain), '{pattern_re}') AS is_excluded,
+              regexp_matches(domain,
+                '^[a-zA-Z0-9]([a-zA-Z0-9\\-]{{0,61}}[a-zA-Z0-9])?(\\.[a-zA-Z0-9]([a-zA-Z0-9\\-]{{0,61}}[a-zA-Z0-9])?)*$')
+                AS is_valid
+            FROM d WHERE domain <> ''
+        """,
+        "q_category_classify": f"""
+            SELECT doc_id,
+              {_sql_category_case("lower(substring(text, 1, 80) || '  example.com')")}
+                AS category
+            FROM documents
+        """,
+        "q_tags_derive": f"""
+            WITH d AS (SELECT domain, string_split(domain, '.') AS parts
+                       FROM read_parquet('{_FIX}/dns.parquet'))
+            SELECT domain,
+              array_to_string(list_sort(list_distinct(
+                ['kw1', 'kw2']
+                || (CASE WHEN len(parts) > 2 THEN [parts[1]] ELSE [] END)
+                || (CASE WHEN len(parts) >= 2 THEN [parts[-2]] ELSE [] END)
+                || [parts[-1]] || ['misc'])), ',') AS tags_csv
+            FROM d
+        """,
+        "q_frontier_claim": f"""
+            SELECT claim_rank, url, domain_name, priority, depth FROM (
+              SELECT *, row_number() OVER (
+                ORDER BY priority DESC, discovery_seq ASC, url ASC) AS claim_rank
+              FROM read_parquet('{_FIX}/frontier_seed.parquet')
+              WHERE status = 'pending') t
+            WHERE claim_rank <= 10
+        """,
+        "q_frontier_merge": f"""
+            WITH base AS (
+              SELECT url, priority, depth
+              FROM read_parquet('{_FIX}/frontier_seed.parquet')),
+            dup AS (SELECT url, priority + 2 AS priority, depth + 1 AS depth FROM base)
+            SELECT url, max(priority) AS priority, min(depth) AS depth
+            FROM (SELECT * FROM base UNION ALL SELECT * FROM dup) u
+            GROUP BY url
+        """,
+        "q_queue_stats": f"""
+            SELECT status, priority, count(*) AS cnt,
+                   min(discovery_seq) AS min_seq, max(discovery_seq) AS max_seq
+            FROM read_parquet('{_FIX}/frontier_seed.parquet')
+            GROUP BY status, priority
+        """,
+        "q_url_canonicalize": f"""
+            WITH p AS (
+              SELECT url,
+                regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme,
+                regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS netloc,
+                regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+              FROM read_parquet('{_FIX}/raw_urls.parquet'))
+            SELECT url,
+              CASE WHEN length(scheme || '://' || netloc || path) > 1
+                        AND (scheme || '://' || netloc || path) LIKE '%/'
+                   THEN regexp_replace(scheme || '://' || netloc || path, '/+$', '')
+                   ELSE scheme || '://' || netloc || path END AS clean_url,
+              regexp_replace(lower(netloc), '^www\\.', '') AS domain
+            FROM p
+        """,
+        "q_naive_main_domain": f"""
+            SELECT domain,
+              CASE WHEN len(string_split(domain, '.')) > 2
+                   THEN array_to_string(string_split(domain, '.')[-2:], '.')
+                   ELSE domain END AS main_domain,
+              len(string_split(domain, '.')) > 2 AS is_subdomain
+            FROM read_parquet('{_FIX}/dns.parquet')
+        """,
+        "q_whois_dates": f"""
+            SELECT domain,
+              coalesce(try_strptime(created_date_raw, '%Y-%m-%d'),
+                       try_strptime(created_date_raw, '%Y-%m-%d %H:%M:%S'),
+                       try_strptime(created_date_raw, '%d-%b-%Y'))::date AS created_date,
+              coalesce(try_strptime(expiry_date_raw, '%Y-%m-%d'),
+                       try_strptime(expiry_date_raw, '%Y-%m-%d %H:%M:%S'),
+                       try_strptime(expiry_date_raw, '%d-%b-%Y'))::date AS expiry_date,
+              registrar
+            FROM read_parquet('{_FIX}/whois.parquet')
+        """,
+        "q_dns_parent_fallback": f"""
+            WITH d AS (
+              SELECT domain,
+                CASE WHEN len(string_split(domain, '.')) > 2
+                     THEN array_to_string(string_split(domain, '.')[-2:], '.')
+                     ELSE domain END AS main_domain,
+                nameservers
+              FROM read_parquet('{_FIX}/dns.parquet'))
+            SELECT d.domain,
+              coalesce(array_to_string(
+                coalesce(coalesce(d.nameservers, p.nameservers), []), ','), '')
+                AS nameservers_csv
+            FROM d LEFT JOIN read_parquet('{_FIX}/dns.parquet') p
+              ON d.main_domain = p.domain
+        """,
+        "q_redirect_classify": f"""
+            WITH r AS (
+              SELECT url, final_url, status_code,
+                lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS oscheme,
+                regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '') AS od,
+                lower(regexp_extract(coalesce(final_url,''), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS fscheme,
+                regexp_replace(lower(regexp_extract(coalesce(final_url,''), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '') AS fd
+              FROM read_parquet('{_FIX}/redirects.parquet'))
+            SELECT url, final_url, status_code, fd AS final_domain,
+              (status_code >= 300 AND status_code < 400 AND fd <> '' AND fd <> od
+               AND NOT (fd = od AND oscheme <> fscheme)) AS is_redirect
+            FROM r
+        """,
+        "q_per_page_caps": f"""
+            WITH l AS (
+              SELECT src_domain, pos, href,
+                regexp_replace(lower(regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '') AS target_domain
+              FROM read_parquet('{_FIX}/link_candidates.parquet')),
+            f AS (SELECT * FROM l WHERE target_domain <> ''),
+            d AS (SELECT *, row_number() OVER (
+                    PARTITION BY src_domain, target_domain ORDER BY pos) AS rn FROM f),
+            c AS (SELECT src_domain, pos, target_domain, row_number() OVER (
+                    PARTITION BY src_domain ORDER BY pos) AS cap_rank
+                  FROM d WHERE rn = 1)
+            SELECT src_domain, cap_rank, pos, target_domain FROM c
+            WHERE cap_rank <= 12
+        """,
+        "q_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 4) AS sum_qty,
+              round(sum(l_extendedprice), 4) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+              count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_revenue_by_nation": """
+            SELECT n_name,
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+              count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "q_top_events_per_user": """
+            SELECT user_id, rnk, event_id, event_type, round(value, 6) AS value
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
+                  FROM events) t
+            WHERE rnk <= 3
+        """,
+        "q_events_hourly": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q_dedup_exact": """
+            WITH n AS (
+              SELECT doc_id,
+                md5(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))) AS content_hash
+              FROM documents)
+            SELECT doc_id, content_hash,
+              count(*) OVER (PARTITION BY content_hash) AS group_size,
+              doc_id = min(doc_id) OVER (PARTITION BY content_hash) AS is_survivor
+            FROM n
+        """,
+        "q_text_metrics": """
+            WITH t AS (
+              SELECT doc_id, coalesce(text, '') AS txt,
+                list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                            x -> x <> '') AS toks
+              FROM documents)
+            SELECT doc_id,
+              len(toks) AS n_tokens,
+              round(CASE WHEN len(toks) > 0 THEN
+                len(list_filter(toks, x -> list_contains(
+                  ['the','and','of','to','in','is','that','for','with','are'],
+                  lower(x))))::double / len(toks) ELSE 0.0 END, 6) AS stopword_ratio,
+              round(CASE WHEN length(txt) > 0 THEN
+                length(regexp_replace(txt, '[^.,;:!?''"()\\[\\]{}-]', '', 'g'))::double
+                  / length(txt) ELSE 0.0 END, 6) AS punct_ratio,
+              length(txt) AS n_chars
+            FROM t
+        """,
+        "q_word_jaccard": """
+            WITH docs AS (
+              SELECT doc_id,
+                list_distinct(list_filter(regexp_split_to_array(
+                  lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))),
+                  ' '), x -> x <> '')) AS words
+              FROM documents WHERE doc_id < 100)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              round(CASE WHEN len(list_distinct(a.words || b.words)) > 0 THEN
+                (len(a.words) + len(b.words)
+                 - len(list_distinct(a.words || b.words)))::double
+                / len(list_distinct(a.words || b.words)) ELSE 0.0 END, 6) AS jaccard
+            FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+            WHERE round(CASE WHEN len(list_distinct(a.words || b.words)) > 0 THEN
+                (len(a.words) + len(b.words)
+                 - len(list_distinct(a.words || b.words)))::double
+                / len(list_distinct(a.words || b.words)) ELSE 0.0 END, 6) >= 0.3
+        """,
+        "q_ann_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+            s AS (
+              SELECT query_id, neighbor_id,
+                round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 6) AS cosine
+              FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
+            SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+        """,
+    }

@@ -258,6 +258,20 @@ def generate_fixtures(n_domains: int = 120, seed: int = 42,
         dns_rows.append({"domain": s, "nameservers": None, "ip_address": None,
                          "asn": None, "asn_description": None})
 
+    # --- flat URL/link tables for SQL-oracle-checkable filter queries ---
+    raw_urls = []
+    link_cand = []
+    for i, d in enumerate(domains):
+        raw_urls.append(f"http://{d}/path/page?utm_source=x#frag")
+        raw_urls.append(f"https://www.{d}/a/b/")
+        raw_urls.append(f"http://{d}")
+        raw_urls.append(f"http://{d}/q?a=1&b=2")
+        for href, text in adversarial_links(i, d):
+            link_cand.append({"href": href, "link_text": text,
+                              "src_domain": d, "pos": len(link_cand)})
+    raw_urls_df = pd.DataFrame({"url": raw_urls})
+    link_candidates = pd.DataFrame(link_cand)
+
     return {
         "pages": pages,
         "frontier_seed": frontier_seed,
@@ -267,6 +281,8 @@ def generate_fixtures(n_domains: int = 120, seed: int = 42,
         "dns": pd.DataFrame(dns_rows),
         "ssl": pd.DataFrame(ssl_rows),
         "geo": pd.DataFrame(geo_rows),
+        "raw_urls": raw_urls_df,
+        "link_candidates": link_candidates,
     }
 
 
@@ -304,6 +320,11 @@ _ARROW_SCHEMAS = {
         ("ip_address", pa.string()), ("latitude", pa.decimal128(10, 8)),
         ("longitude", pa.decimal128(11, 8)), ("country", pa.string()),
         ("city", pa.string()),
+    ]),
+    "raw_urls": pa.schema([("url", pa.string())]),
+    "link_candidates": pa.schema([
+        ("href", pa.string()), ("link_text", pa.string()),
+        ("src_domain", pa.string()), ("pos", pa.int64()),
     ]),
 }
 

@@ -117,11 +117,20 @@ def simhash_col(text, n_bits: int = 64, shingle_n: int = 2):
     more shingle-hashes have bit i set than not)."""
     sh = shingles_col(text, shingle_n)
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def mask_of(i: int) -> int:
+        # bit 63 as a signed two's-complement long (1<<63 overflows)
+        return (1 << i) if i < 63 else -(1 << 63)
+
+    def bit_set(mask):
+        # NB: F.filter lambdas with two params receive the array index —
+        # bind the mask via closure, keep the lambda unary
+        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
+
     bits = [
         F.when(
-            F.size(F.filter(hashes,
-                            lambda h, i=i: h.bitwiseAND(F.lit(1 << i)) != 0))
-            * 2 > F.size(hashes), F.lit(1 << i)).otherwise(F.lit(0))
+            F.size(F.filter(hashes, bit_set(mask_of(i)))) * 2 > F.size(hashes),
+            F.lit(mask_of(i))).otherwise(F.lit(0))
         for i in range(n_bits)
     ]
     out = F.lit(0).cast("long")
