@@ -49,7 +49,9 @@ def shingles_col(text, n: int = 3):
     """Word n-gram shingles of the normalized text (distinct)."""
     words = F.filter(F.split(normalize_text(text), " "), lambda w: w != "")
     k = F.size(words) - (n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    # sequence(1, 0) would yield a DESCENDING [1, 0] — guard short docs
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)) \
+           .otherwise(F.array().cast("array<int>"))
     return F.array_distinct(F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(words, i, n))))
 

@@ -1,0 +1,164 @@
+"""Training-data pipeline operators: dedup families, similarity search,
+text analysis, multimodal plumbing, streaming equivalence."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from map_the_net_crawler_spark.functions.multimodal import (
+    extract_media_features, frame_sample_plan)
+from map_the_net_crawler_spark.functions.text import analyze_documents
+from map_the_net_crawler_spark.operators.dedup import (exact_dedup,
+                                                       minhash_lsh_pairs,
+                                                       ngram_jaccard_pairs,
+                                                       simhash_dedup)
+from map_the_net_crawler_spark.operators.similarity import (
+    brute_force_cosine_topk, lsh_bucketed_topk)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog in the park today"),
+    (2, "the quick brown fox jumps over the lazy dog in the park today"),
+    (3, "the quick brown fox jumps over the lazy cat in the park today"),
+    (4, "completely different text about spark engines and shuffles here"),
+    (5, "  THE quick   brown fox jumps over the lazy dog in the park today "),
+    (6, "short"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+
+
+class TestDedup:
+    def test_exact_dedup_normalized(self, spark, docs):
+        out = {r.doc_id: (r.group_size, r.is_survivor)
+               for r in exact_dedup(docs).collect()}
+        # 1, 2 and 5 are identical after whitespace/case normalization
+        assert out[1] == (3, True)
+        assert out[2] == (3, False) and out[5] == (3, False)
+        assert out[4] == (1, True)
+
+    def test_ngram_jaccard_finds_near_dup(self, spark, docs):
+        pairs = {(r.doc_a, r.doc_b): r.jaccard
+                 for r in ngram_jaccard_pairs(docs, shingle_n=3,
+                                              threshold=0.5).collect()}
+        assert pairs[(1, 2)] == 1.0
+        assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+        assert (1, 4) not in pairs
+
+    def test_minhash_lsh_candidates(self, spark, docs):
+        pairs = {(r.doc_a, r.doc_b): r.jaccard
+                 for r in minhash_lsh_pairs(docs, n_hashes=16, bands=8,
+                                            shingle_n=3,
+                                            jaccard_threshold=0.4).collect()}
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+        assert (1, 3) in pairs            # near-dup caught by banding
+        assert (1, 4) not in pairs
+
+    def test_simhash_near_dups_close(self, spark, docs):
+        out = {(r.doc_a, r.doc_b): r.hamming
+               for r in simhash_dedup(docs).collect()}
+        assert out[(1, 2)] == 0            # identical → same simhash
+        if (1, 3) in out:
+            assert out[(1, 3)] <= 24       # near-dup → small distance
+        assert all(h <= 64 for h in out.values())
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rng = np.random.RandomState(7)
+        vecs = rng.randn(40, 8).astype("float32")
+        vecs[1] = vecs[0] + 0.01 * rng.randn(8).astype("float32")  # planted NN
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_brute_force_matches_numpy(self, spark, emb):
+        out = brute_force_cosine_topk(emb.filter(F.col("vec_id") == 0),
+                                      emb, k=3).collect()
+        vecs = {r.vec_id: np.array(r.embedding, dtype="float64")
+                for r in emb.collect()}
+        q = vecs[0]
+        sims = {i: float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+                for i, v in vecs.items() if i != 0}
+        want = sorted(sims, key=lambda i: (-round(sims[i], 6), i))[:3]
+        got = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+        assert got == want
+        assert got[0] == 1                 # the planted neighbor
+        for r in out:
+            assert abs(r.cosine - round(sims[r.neighbor_id], 6)) < 1e-6
+
+    def test_lsh_bucketed_finds_planted_neighbor(self, spark, emb):
+        out = lsh_bucketed_topk(emb.filter(F.col("vec_id") == 0), emb,
+                                dim=8, k=3, n_planes=4).collect()
+        assert any(r.neighbor_id == 1 for r in out)  # same bucket w.h.p.
+
+
+class TestTextAnalysis:
+    def test_metrics_match_python(self, spark, docs):
+        out = {r.doc_id: r.asDict() for r in analyze_documents(docs).collect()}
+        text1 = DOCS[0][1]
+        toks = text1.split()
+        assert out[1]["n_tokens"] == len(toks)
+        sw = {"the", "and", "of", "to", "in", "is", "that", "for", "with", "are"}
+        want_ratio = round(sum(t.lower() in sw for t in toks) / len(toks), 6)
+        assert abs(out[1]["stopword_ratio"] - want_ratio) < 1e-9
+        assert out[1]["lang_id"] == "en"
+        assert out[6]["quality_score"] < out[1]["quality_score"]
+        # identical normalized text → identical fingerprint
+        assert out[1]["fingerprint"] == out[5]["fingerprint"]
+        assert out[1]["fingerprint"] != out[4]["fingerprint"]
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        rows = [(1, "image", b"\x89PNG fake"), (2, "audio", b"RIFF fake"),
+                (3, "video", b"\x00\x00ftyp fake"), (4, "image", None)]
+        media = spark.createDataFrame(
+            rows, "media_id long, media_type string, payload binary")
+        out = {r.media_id: r for r in extract_media_features(media, dim=8)
+               .collect()}
+        assert all(out[i].decode_ok for i in (1, 2, 3, 4))
+        assert len(out[1].features) == 8
+        # deterministic: same payload → same features
+        out2 = {r.media_id: r for r in extract_media_features(media, dim=8)
+                .collect()}
+        assert out[1].features == out2[1].features
+
+    def test_frame_sample_plan(self, spark):
+        media = spark.createDataFrame(
+            [(1, "video", None, 3500), (2, "image", None, None)],
+            "media_id long, media_type string, payload binary, duration_ms int")
+        rows = frame_sample_plan(media, every_ms=1000).collect()
+        assert [(r.media_id, r.frame_ts_ms) for r in rows] \
+            == [(1, 0), (1, 1000), (1, 2000), (1, 3000)]
+
+
+class TestStreaming:
+    def test_stream_equals_batch(self, spark, tmp_path):
+        from map_the_net_crawler_spark.streaming.events import (
+            read_events_stream, run_stream_to_sink, windowed_counts)
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        events.write.mode("overwrite").parquet(str(tmp_path / "in"))
+        stream = read_events_stream(spark, str(tmp_path / "in"))
+        q = run_stream_to_sink(windowed_counts(stream),
+                               str(tmp_path / "ckpt"), str(tmp_path / "out"))
+        q.awaitTermination(120)
+        got = spark.read.parquet(str(tmp_path / "out"))
+        want = windowed_counts(events)
+        a = sorted(map(tuple, got.collect()))
+        b = sorted(map(tuple, want.collect()))
+        # append mode only emits windows the watermark has passed: the
+        # final windows (within the 2h watermark of max ts) stay open
+        import datetime as dt
+        max_ts = events.agg(F.max("ts")).collect()[0][0]
+        cutoff = max_ts - dt.timedelta(hours=3)
+        closed = [r for r in b if r[0] <= cutoff]
+        assert set(closed) <= set(a) <= set(b)
+        assert len(a) >= len(closed)

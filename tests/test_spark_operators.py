@@ -1,0 +1,129 @@
+"""Spark-side operator tests: Column pipeline vs the pure-Python oracle,
+claim determinism, extract UDF byte-identity."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from map_the_net_crawler_spark.config import CrawlConfig
+from map_the_net_crawler_spark.functions.extract import extract_pages
+from map_the_net_crawler_spark.functions.filters import url_exclusion_reason
+from map_the_net_crawler_spark.htmlx import extract_page
+from map_the_net_crawler_spark.operators.frontier import (claim_batch,
+                                                          merge_frontier_upsert)
+from map_the_net_crawler_spark.oracle.pyref import should_exclude_url
+from map_the_net_crawler_spark.urlkit import parse_href
+
+
+class TestFilterParity:
+    """The JVM Column filter pipeline must agree with the sequential
+    oracle's should_exclude_url on every fixture link (drift guard)."""
+
+    def test_exclusion_reasons_match_oracle(self, spark, fixture_frames):
+        lc = fixture_frames["link_candidates"]
+        rows = []
+        for r in lc.itertuples():
+            p = parse_href(r.href)
+            rows.append({
+                "href": r.href, "link_text": r.link_text,
+                "href_netloc": p["netloc"], "href_path": p["path"],
+                "n_query_params": p["n_query_params"],
+                "param_names": p["param_names"],
+            })
+        sdf = spark.createDataFrame(pd.DataFrame(rows))
+        out = sdf.withColumn("reason", url_exclusion_reason(
+            F.col("href"), F.col("link_text"), F.col("href_netloc"),
+            F.col("href_path"), F.col("n_query_params"),
+            F.col("param_names"))).collect()
+        for row in out:
+            expected = should_exclude_url(row.href, row.link_text or "")
+            assert row.reason == expected, (row.href, row.link_text)
+
+
+class TestClaim:
+    def _seed_df(self, spark, fixture_paths):
+        return spark.read.parquet(fixture_paths["frontier_seed"])
+
+    def test_claim_order_partition_invariant(self, spark, fixture_paths):
+        """W1 determinism (SURVEY.md §7.3 hard part 1): claim order must
+        not depend on input partitioning."""
+        f = self._seed_df(spark, fixture_paths)
+        cfg = CrawlConfig(max_items=10)
+        a = [r.url for r in claim_batch(f, cfg).orderBy("claim_rank").collect()]
+        b = [r.url for r in claim_batch(f.repartition(7), cfg)
+             .orderBy("claim_rank").collect()]
+        c = [r.url for r in claim_batch(f.repartition(1), cfg)
+             .orderBy("claim_rank").collect()]
+        assert a == b == c
+        # priority DESC dominates, then discovery_seq ASC
+        rows = claim_batch(f, cfg).orderBy("claim_rank").collect()
+        keys = [(-r.priority, r.discovery_seq) for r in rows]
+        assert keys == sorted(keys)
+
+    def test_politeness_budget_caps_per_domain(self, spark):
+        rows = [(f"http://d{i % 3}.com/p{i}", f"d{i % 3}.com", None, 1,
+                 "pending", i, None, 1, None, None) for i in range(30)]
+        f = spark.createDataFrame(
+            rows, "url string, domain_name string, source_domain string, "
+                  "priority int, status string, discovery_seq long, "
+                  "discovery_ts timestamp, depth int, error_message string, "
+                  "processed_iteration int")
+        cfg = CrawlConfig(max_items=30)
+        out = claim_batch(f, cfg, politeness_budget=2)
+        per_dom = (out.groupBy("domain_name").count().collect())
+        assert all(r["count"] <= 2 for r in per_dom)
+        # salted sub-quota mode also respects the (ceiled) budget
+        out_s = claim_batch(f, cfg, politeness_budget=4, salt_buckets=2)
+        per_dom = (out_s.groupBy("domain_name").count().collect())
+        assert all(r["count"] <= 4 for r in per_dom)
+
+    def test_merge_upsert_greatest_least(self, spark):
+        base = spark.createDataFrame(
+            [("u1", "d", None, 1, "pending", 0, None, 3, None, None)],
+            "url string, domain_name string, source_domain string, "
+            "priority int, status string, discovery_seq long, "
+            "discovery_ts timestamp, depth int, error_message string, "
+            "processed_iteration int")
+        new = spark.createDataFrame(
+            [("u1", "d", None, 5, "pending", 9, None, 1, None, None)],
+            base.schema)
+        out = merge_frontier_upsert(base, new).collect()
+        assert len(out) == 1
+        assert out[0].priority == 5 and out[0].depth == 1   # database.py:321-323
+
+
+class TestExtractUdf:
+    def test_byte_identical_text(self, spark, committed_fixdir):
+        """BASELINE.json input_hint invariant: extracted text == pages.text."""
+        pages = spark.read.parquet(f"{committed_fixdir}/pages.parquet")
+        ex = extract_pages(pages.select(
+            "url", F.lit("d").alias("domain_name"), "html"))
+        meta = ex.filter(F.col("link_pos") == -1) \
+                 .select("url", F.col("text").alias("extracted"))
+        joined = pages.select("url", "text").join(meta, "url")
+        bad = joined.filter(F.col("text") != F.col("extracted")).count()
+        assert bad == 0
+        assert joined.count() == pages.count()
+
+    def test_links_match_pure_python(self, spark, committed_fixdir):
+        pages_pd = pd.read_parquet(f"{committed_fixdir}/pages.parquet").head(5)
+        pages = spark.createDataFrame(pages_pd[["url", "html"]])
+        ex = extract_pages(pages.select(
+            "url", F.lit("d").alias("domain_name"), "html"))
+        got = {(r.url, r.link_pos, r.href, r.link_text)
+               for r in ex.filter(F.col("link_pos") >= 0).collect()}
+        want = set()
+        for r in pages_pd.itertuples():
+            for pos, href, text in extract_page(bytes(r.html)).links:
+                want.add((r.url, pos, href, text))
+        assert got == want
+
+    def test_missing_page_marks_fetch_failed(self, spark):
+        df = spark.createDataFrame(
+            [("http://gone.example", "gone.example", None)],
+            "url string, domain_name string, html binary")
+        rows = extract_pages(df).collect()
+        assert len(rows) == 1
+        assert rows[0].fetch_ok is False and rows[0].link_pos == -1
