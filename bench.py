@@ -1,0 +1,219 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline queries:
+- crawl_iteration: one full engine iteration (claim → fetch join →
+  extract UDF → link pipeline → nodes/edges → frontier merge → commit)
+  over a deterministic bench corpus sized by the scale factor; reports
+  URLs/sec and frontier-merge sec/iteration (the BASELINE.json metric).
+- minhash_lsh / ann_cosine / pricing_summary / events_hourly /
+  link_filter: the heavy non-crawl operators at sf scale.
+
+Env:
+  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    (default 32)
+  MTN_BENCH_SCALING=1 also runs the crawl at local[8] vs local[32] on
+  the same corpus and reports throughput + scaling efficiency (the
+  sandbox stand-in for the N vs 4N executor criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def sf_value(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def bench_corpus(sf: float) -> str:
+    """Deterministic crawl corpus sized by sf, cached across runs."""
+    from map_the_net_crawler_spark.fixtures import write_fixtures
+    n_domains = max(300, int(sf * 50_000))
+    out = f"/tmp/mtn_bench_corpus_v3_{n_domains}"
+    if not os.path.exists(os.path.join(out, "pages.parquet")):
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_fixtures(tmp, n_domains=n_domains, links_per_page=12,
+                       hub_every=13, hub_out_links=150)
+        os.rename(tmp, out)
+    return out
+
+
+def make_spark(cpus: int, shuffle: int | None = None):
+    from map_the_net_crawler_spark.session import get_spark
+    sp = get_spark(app_name=f"mtn-bench-{cpus}", master=f"local[{cpus}]",
+                   shuffle_partitions=shuffle or cpus)
+    sp.sparkContext.setLogLevel("ERROR")
+    return sp
+
+
+def bench_crawl(spark, corpus_dir: str, timed_iterations: int = 2):
+    """Warmup iteration + timed full-corpus iterations in politeness mode."""
+    from map_the_net_crawler_spark import schemas as S
+    from map_the_net_crawler_spark.config import CrawlConfig
+    from map_the_net_crawler_spark.plans.crawl import init_run
+    from map_the_net_crawler_spark.plans.iteration import (CrawlInputs,
+                                                           run_iteration)
+    from map_the_net_crawler_spark.storage import TableIO
+
+    inputs = CrawlInputs(
+        pages=spark.read.parquet(f"{corpus_dir}/pages.parquet"),
+        robots=spark.read.parquet(f"{corpus_dir}/robots.parquet"),
+        redirects=spark.read.schema(S.REDIRECTS).parquet(
+            f"{corpus_dir}/redirects.parquet"),
+        whois=spark.read.parquet(f"{corpus_dir}/whois.parquet"),
+        dns=spark.read.parquet(f"{corpus_dir}/dns.parquet"),
+        ssl=spark.read.parquet(f"{corpus_dir}/ssl.parquet"),
+        geo=spark.read.parquet(f"{corpus_dir}/geo.parquet"))
+
+    # all domains become seeds (the reference's queue at scale)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    seeds = pages.select(
+        F.col("url"),
+        F.regexp_replace("url", "^http://", "").alias("domain_name"),
+        F.lit(None).cast("string").alias("source_domain"),
+        F.lit(1).alias("priority"),
+        F.lit("pending").alias("status"),
+        (F.row_number().over(Window.orderBy("url")) - 1)
+        .cast("long").alias("discovery_seq"),
+        F.col("warc_ts").alias("discovery_ts"),
+        F.lit(0).alias("depth"),
+        F.lit(None).cast("string").alias("error_message"),
+        F.lit(None).cast("int").alias("processed_iteration"))
+
+    cfg = CrawlConfig(max_items=1_000_000, max_depth=3,
+                      respect_robots_txt=True)
+    run_dir = tempfile.mkdtemp(prefix="mtn_bench_run_")
+    tio = TableIO(run_dir, spark)
+    next_seq = init_run(spark, tio, seeds)
+
+    # warmup: a small iteration to JIT/compile all code paths
+    warm_cfg = CrawlConfig(max_items=64)
+    r = run_iteration(spark, tio, inputs, warm_cfg, 1, next_seq,
+                      politeness_budget=0)
+    next_seq = r.next_seq
+
+    total_urls = 0
+    total_s = 0.0
+    merge_s = 0.0
+    iters = []
+    for i in range(2, 2 + timed_iterations):
+        t0 = time.time()
+        r = run_iteration(spark, tio, inputs, cfg, i, next_seq,
+                          politeness_budget=0, salt_buckets=1)
+        dt = time.time() - t0
+        next_seq = r.next_seq
+        total_urls += r.claimed
+        total_s += dt
+        merge_s += (r.timings or {}).get("new_pending_write", 0.0) \
+            + (r.timings or {}).get("tables_commit", 0.0)
+        iters.append({"iteration": i, "claimed": r.claimed,
+                      "processed": r.processed, "new_urls": r.new_urls,
+                      "sec": round(dt, 2), "timings": r.timings})
+        if r.claimed == 0:
+            break
+    shutil.rmtree(run_dir, ignore_errors=True)
+    n_iters = max(1, len(iters))
+    return {
+        "urls_per_sec": round(total_urls / total_s, 2) if total_s else 0.0,
+        "sec_per_iteration": round(total_s / n_iters, 2),
+        "frontier_merge_sec_per_iteration": round(merge_s / n_iters, 3),
+        "urls_total": total_urls,
+        "sec": round(total_s, 2),
+        "iterations": iters,
+    }
+
+
+def timed(fn):
+    t0 = time.time()
+    n = fn()
+    return round(time.time() - t0, 2), n
+
+
+def bench_ops(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from map_the_net_crawler_spark.operators.dedup import minhash_lsh_pairs
+    from map_the_net_crawler_spark.operators.similarity import \
+        brute_force_cosine_topk
+
+    out = {}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    out["minhash_lsh"], _ = timed(lambda: minhash_lsh_pairs(
+        docs, n_hashes=32, bands=8, shingle_n=3,
+        jaccard_threshold=0.5).count())
+    out["ann_cosine_topk"], _ = timed(lambda: brute_force_cosine_topk(
+        emb.filter(F.col("vec_id") < 100), emb, k=10).count())
+    out["exact_dedup"], _ = timed(
+        lambda: E.q_dedup_exact(spark, sf_dir).count())
+    out["text_metrics"], _ = timed(
+        lambda: E.q_text_metrics(spark, sf_dir).count())
+    out["pricing_summary"], _ = timed(
+        lambda: E.q_pricing_summary(spark, sf_dir).count())
+    out["events_hourly"], _ = timed(
+        lambda: E.q_events_hourly(spark, sf_dir).count())
+    out["link_filter"], _ = timed(
+        lambda: E.q_link_filter(spark, sf_dir).count())
+    return out
+
+
+def main():
+    sf = sf_value(SF_DIR)
+    corpus = bench_corpus(sf)
+    result = {"metric": "crawl_urls_per_sec+op_latencies",
+              "unit": "sec", "sf": sf, "cpus": CPUS}
+
+    spark = make_spark(CPUS)
+    t0 = time.time()
+    crawl = bench_crawl(spark, corpus)
+    queries = {"crawl_iteration": crawl["sec_per_iteration"]}
+    queries.update(bench_ops(spark, SF_DIR))
+    spark.stop()
+
+    result["value"] = round(time.time() - t0, 2)
+    result["queries"] = queries
+    result["crawl"] = {k: crawl[k] for k in
+                       ("urls_per_sec", "sec_per_iteration",
+                        "frontier_merge_sec_per_iteration", "urls_total")}
+
+    if os.environ.get("MTN_BENCH_SCALING") == "1":
+        scaling = {}
+        for cpus in (8, 32):
+            sp = make_spark(cpus)
+            c = bench_crawl(sp, corpus)
+            sp.stop()
+            scaling[f"local[{cpus}]"] = {
+                "urls_per_sec": c["urls_per_sec"],
+                "sec_per_iteration": c["sec_per_iteration"]}
+        thr8 = scaling["local[8]"]["urls_per_sec"]
+        thr32 = scaling["local[32]"]["urls_per_sec"]
+        scaling["efficiency_8_to_32"] = round((thr32 / thr8) / 4.0, 3) \
+            if thr8 else None
+        result["scaling"] = scaling
+        with open("BENCH_SCALING.json", "w") as f:
+            json.dump(scaling, f, indent=2)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

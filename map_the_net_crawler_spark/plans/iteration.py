@@ -69,6 +69,7 @@ class IterationResult:
     skipped: int
     new_urls: int
     next_seq: int
+    timings: dict | None = None
 
 
 def _empty(spark: SparkSession, schema) -> DataFrame:
@@ -81,12 +82,14 @@ _TRACE = os.environ.get("MTN_TRACE", "") == "1"
 class _Timer:
     def __init__(self):
         self.t = time.time()
+        self.laps: dict[str, float] = {}
 
     def lap(self, label: str):
+        now = time.time()
+        self.laps[label] = round(now - self.t, 3)
         if _TRACE:
-            now = time.time()
             print(f"    [stage {label}: {now - self.t:.2f}s]", flush=True)
-            self.t = now
+        self.t = now
 
 
 def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
@@ -94,10 +97,14 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
                   politeness_budget: int = 0,
                   salt_buckets: int = 1) -> IterationResult:
     tmr = _Timer()
-    frontier = tio.read("frontier", S.FRONTIER)
-    seen = tio.read("seen", S.SEEN)
-    nodes = tio.read("nodes", S.NODES)
-    edges = tio.read("edges", S.EDGES)
+    # read every state table at the PREVIOUS iteration's version: the
+    # run meta (written last) is the single commit point, so a crash
+    # mid-commit can never yield a mixed-version read
+    base = iteration - 1
+    frontier = tio.read("frontier", S.FRONTIER, version=base)
+    seen = tio.read("seen", S.SEEN, version=base)
+    nodes = tio.read("nodes", S.NODES, version=base)
+    edges = tio.read("edges", S.EDGES, version=base)
 
     # ---- claim + persist the batch (cuts lineage; the batch is reused
     # by every downstream stage) --------------------------------------
@@ -108,7 +115,7 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     n_claimed = claimed.count()
     tmr.lap("claim_count")
     if n_claimed == 0:
-        return IterationResult(iteration, 0, 0, 0, 0, next_seq)
+        return IterationResult(iteration, 0, 0, 0, 0, next_seq, tmr.laps)
 
     scounts = seen_counts(seen)
 
@@ -154,7 +161,12 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
                                        "depth", "robots_ok"))
                .join(inputs.pages.select("url", "html"), "url", "left"))
 
-    extracted = extract_pages(fetched.select("url", "domain_name", "html"))
+    # broadcast joins inherit the streaming side's partitioning — a pages
+    # snapshot read as few splits would serialize the extract UDF; spread
+    # the batch across all cores before the Arrow stage
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    extracted = extract_pages(
+        fetched.select("url", "domain_name", "html").repartition(n_part, "url"))
     tio.write("extract", extracted, iteration)
     tmr.lap("extract_write")
     extracted = tio.read("extract", version=iteration)
@@ -217,11 +229,7 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
                         "ssl_valid", "ssl_expiry", "country", "ip_address",
                         "latitude", "longitude", "category", "tags",
                         F.lit(iteration).alias("updated_iteration")))
-    # materialize: the enrichment joins + 44-branch category chain are
-    # planned/executed once, not once per downstream table commit
-    tio.write("nodes_batch", full_updates, iteration)
-    tmr.lap("nodes_batch_write")
-    full_updates = tio.read("nodes_batch", version=iteration)
+    # materialized below (in parallel with the rels write)
 
     # ---- link pipeline (robots-gated, :938-941) ------------------------
     link_rows = (extracted.filter(F.col("link_pos") >= 0)
@@ -229,11 +237,24 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
                  .filter(F.col("robots_ok"))
                  .withColumnRenamed("batch_rank", "claim_rank")
                  .withColumnRenamed("depth", "src_depth"))
+    # materialize the filtered link rows: build_relationships references
+    # this subtree ~4× (main flow + both sides of the PSL host union) and
+    # Spark re-executes each appearance — make them cheap parquet scans
     valid = filter_links(link_rows)
+    tio.write("valid_links", valid, iteration)
+    tmr.lap("valid_links_write")
+    valid = tio.read("valid_links", version=iteration)
     rels = build_relationships(valid, inputs.redirects, scounts,
                                processed_domains, cfg)
-    tio.write("rels", rels, iteration)
-    tmr.lap("rels_write")
+    # nodes_batch and rels only share the extract/gated parquet — run
+    # their materializations as concurrent Spark jobs
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f1 = ex.submit(tio.write, "nodes_batch", full_updates, iteration)
+        f2 = ex.submit(tio.write, "rels", rels, iteration)
+        f1.result(), f2.result()
+    tmr.lap("nodes_batch+rels_write")
+    full_updates = tio.read("nodes_batch", version=iteration)
     rels = tio.read("rels", version=iteration)
 
     edges_batch = edges_from_relationships(rels, iteration)
@@ -325,21 +346,23 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
         F.lit(None).cast("string").alias("error_message"),
         F.lit("spark-engine").alias("agent_name")))
 
-    # ---- atomic commit ----------------------------------------------------
-    tio.write("frontier", frontier_next, iteration)
-    tmr.lap("frontier_write")
-    tio.write("seen", seen_next, iteration)
-    tmr.lap("seen_write")
-    tio.write("nodes", nodes_next, iteration)
-    tmr.lap("nodes_write")
-    tio.write("edges", edges_next, iteration)
-    tmr.lap("edges_write")
-    tio.write("metrics", metrics, iteration)
-    tmr.lap("metrics_write")
+    # ---- atomic commit: data writes fan out across scheduler threads
+    # (independent Spark jobs), then the meta write is the commit point
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=5) as ex:
+        futs = [ex.submit(tio.write, name, df, iteration)
+                for name, df in (("frontier", frontier_next),
+                                 ("seen", seen_next),
+                                 ("nodes", nodes_next),
+                                 ("edges", edges_next),
+                                 ("metrics", metrics))]
+        for f in futs:
+            f.result()
+    tmr.lap("tables_commit")
     tio.write_meta({"iteration": iteration, "next_seq": next_seq + n_new})
 
     n_proc = batch.count()
     n_skip = gated.filter(F.col("gate_status") == "skipped").count()
     tmr.lap("final_counts")
     return IterationResult(iteration, n_claimed, n_proc, n_skip, n_new,
-                           next_seq + n_new)
+                           next_seq + n_new, tmr.laps)
