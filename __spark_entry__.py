@@ -34,8 +34,15 @@ def _sf(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # depth ≤ max_depth, what is the domain graph?")
 # ----------------------------------------------------------------------
 
+_ENTRY_CACHE: dict = {}
+
+
 def entry(spark: SparkSession) -> DataFrame:
     import tempfile
+
+    key = id(spark)
+    if key in _ENTRY_CACHE:
+        return _ENTRY_CACHE[key]
 
     from map_the_net_crawler_spark import schemas as S
     from map_the_net_crawler_spark.config import CrawlConfig
@@ -53,9 +60,11 @@ def entry(spark: SparkSession) -> DataFrame:
     run_crawl(spark, tio, inputs, CrawlConfig(),
               seeds=_fx(spark, "frontier_seed"), max_iterations=2)
     edges = tio.read("edges", S.EDGES)
-    return edges.select("src_domain", "dst_domain", "relationship_type",
-                        "link_text", "link_url") \
-                .orderBy("src_domain", "dst_domain", "relationship_type")
+    out = edges.select("src_domain", "dst_domain", "relationship_type",
+                       "link_text", "link_url") \
+               .orderBy("src_domain", "dst_domain", "relationship_type")
+    _ENTRY_CACHE[key] = out
+    return out
 
 
 # ----------------------------------------------------------------------
@@ -438,8 +447,32 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "media_type", "feature_dim", "decode_ok")
 
 
+def q_ugc_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 UGC purge candidate scan (cleanup_ugc_domains.py:22-26) over
+    the link-candidate target domains."""
+    from map_the_net_crawler_spark.operators.maintenance import \
+        ugc_purge_candidates
+    d = (_fx(spark, "link_candidates")
+         .select(F.regexp_replace(F.lower(F.regexp_extract(
+             "href", r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)),
+             r"^www\.", "").alias("domain_name"))
+         .filter(F.col("domain_name") != "").distinct())
+    return ugc_purge_candidates(d)
+
+
+def q_top_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 top-10-by-count shape (archive_collection_logs.py:55-64) with a
+    deterministic tiebreak, over the events table."""
+    e = _sf(spark, sf_dir, "events")
+    return (e.groupBy("user_id").agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+            .limit(10))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "q_ugc_purge": q_ugc_purge,
+        "q_top_agents": q_top_agents,
         "q_frontier_claim": q_frontier_claim,
         "q_frontier_merge": q_frontier_merge,
         "q_queue_stats": q_queue_stats,
@@ -507,6 +540,19 @@ def oracle_sql() -> dict[str, str]:
     path_x = "regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
     query_x = "regexp_extract(href, '^[^?#]*\\?([^#]*)', 1)"
     return {
+        "q_ugc_purge": f"""
+            WITH d AS (
+              SELECT DISTINCT regexp_replace(lower({netloc_x}), '^www\\.', '')
+                AS domain_name
+              FROM read_parquet('{_FIX}/link_candidates.parquet'))
+            SELECT domain_name FROM d
+            WHERE domain_name <> ''
+              AND regexp_matches(lower(domain_name), '{pattern_re}')
+        """,
+        "q_top_agents": """
+            SELECT user_id, count(*) AS cnt FROM events
+            GROUP BY user_id ORDER BY cnt DESC, user_id ASC LIMIT 10
+        """,
         "q_link_filter": f"""
             WITH l AS (
               SELECT pos, href, link_text, src_domain,

@@ -196,18 +196,35 @@ def main():
                         "frontier_merge_sec_per_iteration", "urls_total")}
 
     if os.environ.get("MTN_BENCH_SCALING") == "1":
-        scaling = {}
-        for cpus in (8, 32):
+        # same job, same input, two cluster sizes (N and 4N cores) — the
+        # sandbox stand-in for the N vs 4N executor criterion.  A larger
+        # corpus than the default bench so the data-parallel work
+        # dominates the constant driver-side cost per iteration.
+        from map_the_net_crawler_spark.fixtures import write_fixtures
+        n_dom = int(os.environ.get("MTN_BENCH_SCALING_DOMAINS", "50000"))
+        big = f"/tmp/mtn_bench_corpus_v3_{n_dom}"
+        if not os.path.exists(os.path.join(big, "pages.parquet")):
+            tmp = big + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            write_fixtures(tmp, n_domains=n_dom, links_per_page=12,
+                           hub_every=13, hub_out_links=150)
+            os.rename(tmp, big)
+        scaling = {"corpus_domains": n_dom}
+        for cpus in (2, 8, 32):
             sp = make_spark(cpus)
-            c = bench_crawl(sp, corpus)
+            c = bench_crawl(sp, big, timed_iterations=1)
             sp.stop()
             scaling[f"local[{cpus}]"] = {
                 "urls_per_sec": c["urls_per_sec"],
                 "sec_per_iteration": c["sec_per_iteration"]}
-        thr8 = scaling["local[8]"]["urls_per_sec"]
-        thr32 = scaling["local[32]"]["urls_per_sec"]
-        scaling["efficiency_8_to_32"] = round((thr32 / thr8) / 4.0, 3) \
-            if thr8 else None
+
+        def eff(a, b, factor):
+            ta = scaling[f"local[{a}]"]["urls_per_sec"]
+            tb = scaling[f"local[{b}]"]["urls_per_sec"]
+            return round((tb / ta) / factor, 3) if ta else None
+
+        scaling["efficiency_2_to_8"] = eff(2, 8, 4.0)
+        scaling["efficiency_8_to_32"] = eff(8, 32, 4.0)
         result["scaling"] = scaling
         with open("BENCH_SCALING.json", "w") as f:
             json.dump(scaling, f, indent=2)

@@ -1,0 +1,85 @@
+"""Maintenance operators (SURVEY.md §2.10) — the reference's admin
+scripts re-expressed as dataflow:
+
+- purge_ugc: cleanup_ugc_domains.py:22-26 (patterns) + :322-344
+  (relationships → queue → domains deletion order) as anti-filters over
+  the snapshot tables.
+- archive_metrics: archive_collection_logs.py:90-143 — age filter →
+  CSV export → delete (S14 sink + C10 cutoff arithmetic).
+- backfill_missing: fill_missing_domain_data.py:85-164 — null-field
+  scan → re-run the enrichment joins → last-writer-wins merge.
+- reset_stuck / wipe: database.py:613-661 stuck recovery is a
+  documented no-op here (atomic snapshot commits make 'processing'
+  states unrepresentable); wipe = overwrite-with-empty.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.filters import domain_excluded
+
+
+def ugc_purge_candidates(nodes: DataFrame) -> DataFrame:
+    """Domains matching the exclusion patterns (the reference applies the
+    same compiled regex list it crawls with, cleanup_ugc_domains.py:22-26)."""
+    return nodes.filter(domain_excluded(F.col("domain_name"))) \
+                .select("domain_name")
+
+
+def purge_ugc(nodes: DataFrame, edges: DataFrame,
+              frontier: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Deletion in reference order relationships → queue → domains
+    (cleanup_ugc_domains.py:322-344) as anti-joins; returns the purged
+    (nodes, edges, frontier)."""
+    bad = ugc_purge_candidates(nodes)
+    edges2 = (edges
+              .join(bad.withColumnRenamed("domain_name", "src_domain"),
+                    "src_domain", "left_anti")
+              .join(bad.withColumnRenamed("domain_name", "dst_domain"),
+                    "dst_domain", "left_anti"))
+    frontier2 = frontier.join(bad, "domain_name", "left_anti")
+    nodes2 = nodes.join(bad, "domain_name", "left_anti")
+    return nodes2, edges2, frontier2
+
+
+def archive_metrics(metrics: DataFrame, max_iteration_age: int,
+                    current_iteration: int, csv_path: str | None = None
+                    ) -> tuple[DataFrame, DataFrame]:
+    """Split metrics into (kept, archived) by iteration age — the
+    deterministic stand-in for the reference's date cutoff
+    (archive_collection_logs.py:90-99); optionally export CSV (S14,
+    :119-143)."""
+    cutoff = current_iteration - max_iteration_age
+    old = metrics.filter(F.col("iteration") <= cutoff)
+    kept = metrics.filter(F.col("iteration") > cutoff)
+    if csv_path:
+        old.orderBy("iteration", "domain_name") \
+           .write.mode("overwrite").option("header", True).csv(csv_path)
+    return kept, old
+
+
+def log_statistics(metrics: DataFrame) -> DataFrame:
+    """A3 (archive_collection_logs.py:35-64): counts by status + top
+    agents."""
+    return (metrics.groupBy("status", "agent_name")
+            .agg(F.count("*").alias("cnt"),
+                 F.min("iteration").alias("min_iteration"),
+                 F.max("iteration").alias("max_iteration"))
+            .orderBy(F.col("cnt").desc(), "status", "agent_name"))
+
+
+def missing_field_nodes(nodes: DataFrame, fields: list[str]) -> DataFrame:
+    """fill_missing_domain_data.py:85-118: nodes with any of the given
+    fields NULL, ordered by domain_name (W6, :50)."""
+    cond = None
+    for f in fields:
+        c = F.col(f).isNull()
+        cond = c if cond is None else (cond | c)
+    return nodes.filter(cond).orderBy("domain_name")
+
+
+def wipe(spark, schema) -> DataFrame:
+    """wipe_database.py:33-53 — overwrite with empty."""
+    return spark.createDataFrame([], schema)

@@ -106,20 +106,13 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     nodes = tio.read("nodes", S.NODES, version=base)
     edges = tio.read("edges", S.EDGES, version=base)
 
-    # ---- claim + persist the batch (cuts lineage; the batch is reused
-    # by every downstream stage) --------------------------------------
-    claimed = claim_batch(frontier, cfg, politeness_budget, salt_buckets)
-    tio.write("claim", claimed, iteration)
-    tmr.lap("claim_write")
-    claimed = tio.read("claim", version=iteration)
-    n_claimed = claimed.count()
-    tmr.lap("claim_count")
-    if n_claimed == 0:
-        return IterationResult(iteration, 0, 0, 0, 0, next_seq, tmr.laps)
-
     scounts = seen_counts(seen)
 
-    # ---- robots decision per distinct claimed domain ------------------
+    # ---- claim + gates, materialized as ONE snapshot: every downstream
+    # stage (fetch, nodes, links, seen, frontier, metrics) re-reads this
+    # ≤k-row parquet instead of re-executing the claim top-k, robots UDF
+    # and gate windows per action ---------------------------------------
+    claimed = claim_batch(frontier, cfg, politeness_budget, salt_buckets)
     robots_udf = make_robots_udf(cfg.http_user_agent)
     domains = claimed.select("domain_name").distinct()
     if cfg.respect_robots_txt:
@@ -132,13 +125,15 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     else:
         robots_flags = domains.withColumn("robots_allowed", F.lit(True))
 
-    # materialize the gated batch once: every downstream stage (fetch,
-    # nodes, links, seen, frontier, metrics) re-reads this ≤k-row parquet
-    # instead of re-executing the robots UDF + gate windows per action
     gated = apply_claim_gates(claimed, scounts, robots_flags, cfg)
     tio.write("gated", gated, iteration)
     tmr.lap("gated_write")
     gated = tio.read("gated", version=iteration)
+    n_claimed = gated.count()
+    tmr.lap("claim_count")
+    if n_claimed == 0:
+        return IterationResult(iteration, 0, 0, 0, 0, next_seq, tmr.laps)
+    claimed = gated
 
     to_process = gated.filter(F.col("gate_status") == "process")
     # one fetch per domain; first claim rank represents the domain
@@ -232,11 +227,18 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     # materialized below (in parallel with the rels write)
 
     # ---- link pipeline (robots-gated, :938-941) ------------------------
+    # slim projection: dragging the full 19-column extract schema through
+    # the filter + snapshot write measured 5-9× slower than these 13 cols
     link_rows = (extracted.filter(F.col("link_pos") >= 0)
+                 .select("domain_name", "link_pos", "href", "link_text",
+                         "href_scheme", "href_netloc", "href_path",
+                         "n_query_params", "param_names", "target_domain",
+                         "clean_url")
                  .join(F.broadcast(binfo), "domain_name", "inner")
                  .filter(F.col("robots_ok"))
                  .withColumnRenamed("batch_rank", "claim_rank")
-                 .withColumnRenamed("depth", "src_depth"))
+                 .withColumnRenamed("depth", "src_depth")
+                 .drop("robots_ok", "_start_cnt"))
     # materialize the filtered link rows: build_relationships references
     # this subtree ~4× (main flow + both sides of the PSL host union) and
     # Spark re-executes each appearance — make them cheap parquet scans

@@ -34,6 +34,8 @@ def get_spark(app_name: str = "map_the_net_crawler_spark",
         # 10-row batch cardinality; interpreted eval is regex-bound anyway
         .config("spark.sql.codegen.wholeStage", str(codegen).lower())
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode = driver-only JVM: size the heap for cores × task
+        # buffers (8g with 32 concurrent tasks GC-thrashes on wide rows)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .getOrCreate()
     )

@@ -52,7 +52,7 @@ def main(n_domains=30, max_iterations=6, master="local[8]"):
     # ---- compare crawl order (claim sequence) ----
     eng_order = []
     for r in summary.iterations:
-        cl = tio.read("claim", version=r.iteration) \
+        cl = tio.read("gated", version=r.iteration) \
             .orderBy("claim_rank").select("claim_rank", "url").collect()
         eng_order += [(r.iteration, row.claim_rank, row.url) for row in cl]
     ora_order = ost.crawl_order

@@ -49,7 +49,7 @@ def test_crawl_order(engine_run, oracle_run):
     tio, summary = engine_run
     eng = []
     for r in summary.iterations:
-        claims = tio.read("claim", version=r.iteration) \
+        claims = tio.read("gated", version=r.iteration) \
             .orderBy("claim_rank").select("claim_rank", "url").collect()
         eng += [(r.iteration, c.claim_rank, c.url) for c in claims]
     assert eng == oracle_run.crawl_order

@@ -1,0 +1,67 @@
+"""Maintenance operators (SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from map_the_net_crawler_spark.operators.maintenance import (
+    archive_metrics, log_statistics, missing_field_nodes, purge_ugc,
+    ugc_purge_candidates)
+
+
+def _nodes(spark):
+    rows = [
+        ("ok.example.com", "T", "D"),
+        ("cool.itch.io", None, None),        # UGC pattern
+        ("writer.wordpress.com", "T", None),  # UGC pattern
+        ("tracking.example.com", "T", "D"),   # 'tracking' pattern
+        ("plain.org", None, "D"),
+    ]
+    return spark.createDataFrame(
+        rows, "domain_name string, title string, description string")
+
+
+def test_ugc_purge(spark):
+    nodes = _nodes(spark)
+    edges = spark.createDataFrame(
+        [("ok.example.com", "cool.itch.io", "link"),
+         ("plain.org", "ok.example.com", "link"),
+         ("cool.itch.io", "plain.org", "link")],
+        "src_domain string, dst_domain string, relationship_type string")
+    frontier = spark.createDataFrame(
+        [("http://cool.itch.io", "cool.itch.io"),
+         ("http://plain.org", "plain.org")],
+        "url string, domain_name string")
+    bad = {r.domain_name for r in ugc_purge_candidates(nodes).collect()}
+    assert bad == {"cool.itch.io", "writer.wordpress.com",
+                   "tracking.example.com"}
+    n2, e2, f2 = purge_ugc(nodes, edges, frontier)
+    assert {r.domain_name for r in n2.collect()} == {"ok.example.com",
+                                                     "plain.org"}
+    assert e2.count() == 1                     # only plain.org -> ok.example
+    assert {r.domain_name for r in f2.collect()} == {"plain.org"}
+
+
+def test_archive_and_stats(spark, tmp_path):
+    rows = [(i, f"d{i}.com", None, "completed", None, None, None, "agent-a")
+            for i in range(1, 6)]
+    m = spark.createDataFrame(
+        rows, "iteration int, domain_name string, url string, status string, "
+              "relationships_found int, urls_discovered int, "
+              "error_message string, agent_name string")
+    kept, old = archive_metrics(m, max_iteration_age=2, current_iteration=5,
+                                csv_path=str(tmp_path / "arch"))
+    assert {r.iteration for r in old.collect()} == {1, 2, 3}
+    assert {r.iteration for r in kept.collect()} == {4, 5}
+    csv = spark.read.option("header", True).csv(str(tmp_path / "arch"))
+    assert csv.count() == 3
+    stats = log_statistics(m).collect()
+    assert stats[0].cnt == 5 and stats[0].status == "completed"
+
+
+def test_missing_field_scan(spark):
+    nodes = _nodes(spark)
+    out = [r.domain_name for r in
+           missing_field_nodes(nodes, ["title", "description"]).collect()]
+    assert out == ["cool.itch.io", "plain.org", "writer.wordpress.com"]
