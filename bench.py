@@ -209,21 +209,33 @@ def main():
             write_fixtures(tmp, n_domains=n_dom, links_per_page=12,
                            hub_every=13, hub_out_links=150)
             os.rename(tmp, big)
-        scaling = {"corpus_domains": n_dom}
-        for cpus in (2, 8, 32):
-            sp = make_spark(cpus)
-            c = bench_crawl(sp, big, timed_iterations=1)
-            sp.stop()
+        # the sandbox host shows 2-4x run-to-run noise (shared-host CPU);
+        # interleave the levels and take the best of N reps per level so
+        # a noisy window doesn't land on one level only.  Both levels run
+        # with the SAME shuffle-partition count so the physical plans are
+        # identical — only the core count differs.
+        reps = int(os.environ.get("MTN_BENCH_SCALING_REPS", "2"))
+        scaling = {"corpus_domains": n_dom, "reps": reps,
+                   "aggregation": "min_sec_per_level(interleaved)"}
+        samples: dict[int, list] = {8: [], 32: []}
+        for _ in range(reps):
+            for cpus in (8, 32):
+                sp = make_spark(cpus, shuffle=32)
+                c = bench_crawl(sp, big, timed_iterations=1)
+                sp.stop()
+                samples[cpus].append(c)
+        for cpus, cs in samples.items():
+            best = min(cs, key=lambda c: c["sec_per_iteration"])
             scaling[f"local[{cpus}]"] = {
-                "urls_per_sec": c["urls_per_sec"],
-                "sec_per_iteration": c["sec_per_iteration"]}
+                "urls_per_sec": best["urls_per_sec"],
+                "sec_per_iteration": best["sec_per_iteration"],
+                "all_sec": [c["sec_per_iteration"] for c in cs]}
 
         def eff(a, b, factor):
             ta = scaling[f"local[{a}]"]["urls_per_sec"]
             tb = scaling[f"local[{b}]"]["urls_per_sec"]
             return round((tb / ta) / factor, 3) if ta else None
 
-        scaling["efficiency_2_to_8"] = eff(2, 8, 4.0)
         scaling["efficiency_8_to_32"] = eff(8, 32, 4.0)
         result["scaling"] = scaling
         with open("BENCH_SCALING.json", "w") as f:
