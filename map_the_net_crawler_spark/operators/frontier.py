@@ -177,10 +177,8 @@ def merge_discoveries(frontier: DataFrame, discoveries: DataFrame,
     fresh = firsts.join(frontier.select(F.col("url").alias("clean_url")),
                         "clean_url", "left_anti")
 
-    w_seq = Window.orderBy(*enqueue_order, F.col("clean_url").asc())
-    return (fresh
-            .withColumn("discovery_seq",
-                        F.lit(next_seq) + F.row_number().over(w_seq) - 1)
+    seq_order = [*enqueue_order, F.col("clean_url").asc()]
+    return (assign_global_sequence(fresh, seq_order, next_seq)
             .select(
                 F.col("clean_url").alias("url"),
                 F.col("target_domain").alias("domain_name"),
@@ -195,6 +193,49 @@ def merge_discoveries(frontier: DataFrame, discoveries: DataFrame,
                 F.lit(None).cast("string").alias("error_message"),
                 F.lit(None).cast("int").alias("processed_iteration"),
             ))
+
+
+def assign_global_sequence(df: DataFrame, order_cols: list,
+                           start: int, small_threshold: int = 50_000
+                           ) -> DataFrame:
+    """Assign a dense global sequence ``discovery_seq`` following a total
+    order, without a single-task global window.
+
+    Two-phase (the classic zipWithIndex shape, in DataFrame space):
+    range-partition by the order keys → per-partition counts → cumulative
+    offsets (a tiny driver-side list) → offset + intra-partition
+    row_number.  The result depends only on the total ORDER, not on the
+    partition bounds, so it is identical at any parallelism — the
+    property the crawl-order determinism tests pin (SURVEY.md §7.3).
+
+    Falls back to one global window when the input is tiny (cheaper: no
+    extra shuffle, same result — order_cols must be a total order)."""
+    n = df.count()
+    if n == 0:
+        return df.withColumn("discovery_seq", F.lit(start).cast("long"))
+    if n <= small_threshold:
+        w = Window.orderBy(*order_cols)
+        return df.withColumn(
+            "discovery_seq",
+            (F.lit(start) + F.row_number().over(w) - 1).cast("long"))
+    sc = df.sparkSession.sparkContext
+    p = max(2, sc.defaultParallelism)
+    ranged = (df.repartitionByRange(p, *order_cols)
+              .withColumn("_pid", F.spark_partition_id()))
+    counts = {r["_pid"]: r["cnt"] for r in
+              ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = ranged.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (ranged.join(F.broadcast(off_df), "_pid")
+            .withColumn("discovery_seq",
+                        (F.col("_off") + F.row_number().over(w) - 1)
+                        .cast("long"))
+            .drop("_pid", "_off"))
 
 
 def merge_frontier_upsert(frontier: DataFrame, new_rows: DataFrame) -> DataFrame:

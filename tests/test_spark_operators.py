@@ -94,6 +94,33 @@ class TestClaim:
         assert out[0].priority == 5 and out[0].depth == 1   # database.py:321-323
 
 
+class TestGlobalSequence:
+    def test_ranged_path_equals_window_path(self, spark):
+        """assign_global_sequence must produce the identical mapping via
+        the single-window path and the range-partitioned two-phase path
+        (scale path), at any parallelism."""
+        from map_the_net_crawler_spark.operators.frontier import \
+            assign_global_sequence
+        import pandas as pd
+        rows = pd.DataFrame({
+            "clean_url": [f"http://d{i % 37}.com/p{i}" for i in range(997)],
+            "source_rank": [i % 11 for i in range(997)],
+            "is_internal": [bool(i % 2) for i in range(997)],
+            "link_pos": [i % 53 for i in range(997)],
+        })
+        df = spark.createDataFrame(rows).repartition(7)
+        order = [F.col("source_rank").asc(), F.col("is_internal").desc(),
+                 F.col("link_pos").asc(), F.col("clean_url").asc()]
+        small = {r.clean_url: r.discovery_seq for r in
+                 assign_global_sequence(df, order, 100,
+                                        small_threshold=10**9).collect()}
+        ranged = {r.clean_url: r.discovery_seq for r in
+                  assign_global_sequence(df, order, 100,
+                                         small_threshold=1).collect()}
+        assert small == ranged
+        assert sorted(small.values()) == list(range(100, 100 + 997))
+
+
 class TestExtractUdf:
     def test_byte_identical_text(self, spark, committed_fixdir):
         """BASELINE.json input_hint invariant: extracted text == pages.text."""
