@@ -13,7 +13,18 @@ sys.path.insert(0, "/root/repo")
 import bench
 from pyspark.sql import functions as F
 
-CORPUS = "/tmp/mtn_bench_corpus_v3_50000"
+import os
+N_DOM = int(sys.argv[1]) if len(sys.argv) > 1 else 50000
+CORPUS = f"/tmp/mtn_bench_corpus_v3_{N_DOM}"
+if not os.path.exists(os.path.join(CORPUS, "pages.parquet")):
+    from map_the_net_crawler_spark.fixtures import write_fixtures
+    import shutil
+    tmp = CORPUS + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_fixtures(tmp, n_domains=N_DOM, links_per_page=12,
+                   hub_every=13, hub_out_links=150)
+    os.rename(tmp, CORPUS)
+    print("corpus generated", flush=True)
 REPS = 2
 out: dict = {"corpus": CORPUS, "stage": "extract_pages mapInPandas",
              "reps": REPS}
@@ -37,7 +48,7 @@ for rep in range(REPS):
 
 for cpus, s in samples.items():
     out[f"local[{cpus}]"] = {"sec": min(s), "all_sec": s,
-                             "pages_per_sec": round(50000 / min(s), 1)}
+                             "pages_per_sec": round(N_DOM / min(s), 1)}
 eff = (out["local[8]"]["sec"] / out["local[32]"]["sec"]) / 4.0
 out["efficiency_8_to_32"] = round(eff, 3)
 print(json.dumps(out))
