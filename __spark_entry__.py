@@ -431,6 +431,30 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(queries_df, emb, dim=dim, k=5, n_planes=4)
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact variant; the LSH
+    scale path is q_ann_lsh).  Deduplication family #5."""
+    from map_the_net_crawler_spark.operators.similarity import (_as_double,
+                                                                cosine_col)
+    emb = _sf(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("doc_a"),
+                   _as_double(F.col("embedding")).alias("va"))
+    b = emb.select(F.col("vec_id").alias("doc_b"),
+                   _as_double(F.col("embedding")).alias("vb"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    cos = F.round(cosine_col(F.col("va"), F.col("vb")), 6)
+    return (pairs.select("doc_a", "doc_b", cos.alias("cosine"))
+            .filter(F.col("cosine") >= 0.3))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user (streaming/events.sessionize batch form,
+    30-minute gap) — gaps-and-islands oracle in DuckDB."""
+    from map_the_net_crawler_spark.streaming.events import sessionize
+    e = _sf(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    return sessionize(e).select("user_id", "session_start", "n_events")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload → deterministic stub features
     (rows-only; the decode is stubbed, the Spark plumbing is real)."""
@@ -501,6 +525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash": q_simhash,
         "q_ann_cosine": q_ann_cosine,
+        "q_embedding_neardup": q_embedding_neardup,
+        "q_sessionize": q_sessionize,
         "q_ann_lsh": q_ann_lsh,
         "q_media_features": q_media_features,
     }
@@ -787,6 +813,32 @@ def oracle_sql() -> dict[str, str]:
                 (len(a.words) + len(b.words)
                  - len(list_distinct(a.words || b.words)))::double
                 / len(list_distinct(a.words || b.words)) ELSE 0.0 END, 6) >= 0.3
+        """,
+        "q_embedding_neardup": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+              round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 6) >= 0.3
+        """,
+        "q_sessionize": """
+            WITH e AS (
+              SELECT user_id, ts,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          >= INTERVAL 30 MINUTE OR
+                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events WHERE user_id < 200),
+            s AS (
+              SELECT user_id, ts,
+                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM e)
+            SELECT user_id, min(ts) AS session_start,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "q_ann_cosine": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
