@@ -423,26 +423,34 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (rows-only; recall vs brute force in tests)."""
+    """LSH-bucketed ANN; the DuckDB oracle recomputes the identical
+    sha256-derived hyperplane signatures from literal plane vectors."""
     from map_the_net_crawler_spark.operators.similarity import lsh_bucketed_topk
     emb = _sf(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
     queries_df = emb.filter(F.col("vec_id") < 10)
-    return lsh_bucketed_topk(queries_df, emb, dim=dim, k=5, n_planes=4)
+    return lsh_bucketed_topk(queries_df, emb, dim=64, k=5, n_planes=4)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN: deterministic md5-ordered centroids, nprobe=3."""
+    from map_the_net_crawler_spark.operators.similarity import ivf_topk
+    emb = _sf(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(queries_df, emb, dim=64, n_cells=8, nprobe=3, k=5)
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact variant; the LSH
-    scale path is q_ann_lsh).  Deduplication family #5."""
-    from map_the_net_crawler_spark.operators.similarity import (_as_double,
-                                                                cosine_col)
+    scale path is q_ann_lsh).  Deduplication family #5.  Scoring via the
+    Arrow numpy kernel, not the interpreted HOF expression."""
+    from map_the_net_crawler_spark.operators.similarity import cosine_pairs_pd
     emb = _sf(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     a = emb.select(F.col("vec_id").alias("doc_a"),
-                   _as_double(F.col("embedding")).alias("va"))
+                   F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("doc_b"),
-                   _as_double(F.col("embedding")).alias("vb"))
+                   F.col("embedding").alias("vb"))
     pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
-    cos = F.round(cosine_col(F.col("va"), F.col("vb")), 6)
+    cos = F.round(cosine_pairs_pd(F.col("va"), F.col("vb")), 6)
     return (pairs.select("doc_a", "doc_b", cos.alias("cosine"))
             .filter(F.col("cosine") >= 0.3))
 
@@ -528,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_neardup": q_embedding_neardup,
         "q_sessionize": q_sessionize,
         "q_ann_lsh": q_ann_lsh,
+        "q_ann_ivf": q_ann_ivf,
         "q_media_features": q_media_features,
     }
 
@@ -558,6 +567,253 @@ def _sql_rules() -> tuple[str, str, str]:
     pattern_re = "|".join(f"({p})" for p in EXCLUDED_PATTERNS)
     tracking_re = "|".join(_re.escape(t) for t in TRACKING_PARAM_SUBSTRINGS)
     return ext_re, pattern_re, tracking_re
+
+
+# ---- generated-SQL helpers: every constant below is produced from the
+# SAME Python source the Spark operators use (rules.py, similarity
+# hyperplanes, psl rules), so the two sides cannot drift. ----------------
+
+_SQL_NORM_WORDS = ("list_filter(string_split(lower(trim(regexp_replace("
+                   "coalesce(text, ''), '\\s+', ' ', 'g'))), ' '), "
+                   "w -> w <> '')")
+
+
+def _sql_shingles(n: int) -> str:
+    """DuckDB restatement of dedup.shingles_col over a `words` column."""
+    m = n - 1
+    return (f"list_distinct(CASE WHEN len(words) - {m} >= 1 THEN "
+            f"list_transform(range(1, len(words) - {m} + 1), "
+            f"i -> array_to_string(words[i:i+{m}], ' ')) "
+            "ELSE [] END)")
+
+
+def _sql_minhash_lsh(id_filter: str, n_hashes: int, bands: int,
+                     shingle_n: int, thr: float, max_bucket: int) -> str:
+    rpb = n_hashes // bands
+    sig_cols = ", ".join(
+        f"min(substring(md5('{p}:' || s), 1, 16)) AS h{p}"
+        for p in range(n_hashes))
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || ',' || ".join(f"h{b * rpb + r}" for r in range(rpb))
+        + ") AS bucket FROM sig"
+        for b in range(bands))
+    jac = ("round(CASE WHEN len(list_distinct(sa.shingles || sb.shingles)) > 0 "
+           "THEN (len(sa.shingles) + len(sb.shingles) "
+           "- len(list_distinct(sa.shingles || sb.shingles)))::DOUBLE "
+           "/ len(list_distinct(sa.shingles || sb.shingles)) "
+           "ELSE 0.0 END, 6)")
+    return f"""
+        WITH d AS (
+          SELECT doc_id, {_SQL_NORM_WORDS} AS words
+          FROM documents WHERE {id_filter}),
+        shing AS (SELECT doc_id, {_sql_shingles(shingle_n)} AS shingles FROM d),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM shing),
+        sig AS (SELECT doc_id, {sig_cols} FROM ex GROUP BY doc_id),
+        banded AS ({band_selects}),
+        sized AS (SELECT band, bucket, count(*) AS bsz
+                  FROM banded GROUP BY band, bucket),
+        bf AS (SELECT b.doc_id, b.band, b.bucket FROM banded b
+               JOIN sized USING (band, bucket) WHERE bsz <= {max_bucket}),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bf a JOIN bf b USING (band, bucket)
+                 WHERE a.doc_id < b.doc_id),
+        j AS (SELECT doc_a, doc_b, {jac} AS jaccard
+              FROM cand
+              JOIN shing sa ON sa.doc_id = cand.doc_a
+              JOIN shing sb ON sb.doc_id = cand.doc_b)
+        SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {thr}
+    """
+
+
+def _sql_simhash(id_filter: str, shingle_n: int, band_bits: int,
+                 max_hamming: int) -> str:
+    from map_the_net_crawler_spark.operators.dedup import SIMHASH_BITS
+    n_bands = SIMHASH_BITS // band_bits
+    mask = (1 << band_bits) - 1
+    votes = ", ".join(
+        f"sum(((hv >> {i}) & 1)::BIGINT) AS b{i}" for i in range(SIMHASH_BITS))
+    packed = " + ".join(
+        f"(CASE WHEN b{i} * 2 > n THEN {1 << i}::BIGINT ELSE 0 END)"
+        for i in range(SIMHASH_BITS))
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"(simhash >> {b * band_bits}) & {mask} AS key FROM sim"
+        for b in range(n_bands))
+    return f"""
+        WITH d AS (
+          SELECT doc_id, {_SQL_NORM_WORDS} AS words
+          FROM documents WHERE {id_filter}),
+        shing AS (SELECT doc_id, {_sql_shingles(shingle_n)} AS shingles FROM d),
+        ex AS (SELECT doc_id,
+                 ('0x' || substring(md5(unnest(shingles)), 1, 15))::UBIGINT
+                   ::BIGINT AS hv
+               FROM shing),
+        v AS (SELECT doc_id, count(*) AS n, {votes} FROM ex GROUP BY doc_id),
+        sim AS (SELECT doc_id, {packed} AS simhash FROM v),
+        banded AS ({band_selects}),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         a.simhash AS sa, b.simhash AS sb
+                  FROM banded a JOIN banded b USING (band, key)
+                  WHERE a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, bit_count(xor(sa, sb))::INT AS hamming
+        FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+def _sql_plane_literal(row) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in row) + "]"
+
+
+def _sql_ann_lsh(dim: int, n_planes: int, k: int) -> str:
+    from map_the_net_crawler_spark.operators.similarity import hyperplanes
+    H = hyperplanes(dim, n_planes)
+    sig = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_sql_plane_literal(H[p])}) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes))
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (SELECT vec_id, v, {sig} AS bucket FROM e),
+        q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM s WHERE vec_id < 10),
+        c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM s),
+        sc AS (SELECT query_id, neighbor_id,
+                 round(list_cosine_similarity(qv, cv), 6) AS cosine
+               FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sc)
+        SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {k}
+    """
+
+
+def _sql_ann_ivf(n_cells: int, nprobe: int, k: int) -> str:
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (SELECT v AS cv, cell FROM (
+            SELECT v, row_number() OVER (
+              ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell FROM e)
+          WHERE cell < {n_cells}),
+        ca AS (SELECT neighbor_id, cv2, cell FROM (
+            SELECT e.vec_id AS neighbor_id, e.v AS cv2, cent.cell,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY round(list_cosine_similarity(e.v, cent.cv), 6) DESC,
+                         cent.cell ASC) AS rn
+            FROM e CROSS JOIN cent) WHERE rn = 1),
+        qa AS (SELECT query_id, qv, cell FROM (
+            SELECT e.vec_id AS query_id, e.v AS qv, cent.cell,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY round(list_cosine_similarity(e.v, cent.cv), 6) DESC,
+                         cent.cell ASC) AS rn
+            FROM e CROSS JOIN cent WHERE e.vec_id < 10) WHERE rn <= {nprobe}),
+        sc AS (SELECT query_id, neighbor_id,
+                 round(list_cosine_similarity(qv, cv2), 6) AS cosine
+               FROM qa JOIN ca USING (cell) WHERE query_id <> neighbor_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sc)
+        SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {k}
+    """
+
+
+def _sql_psl(netloc_x: str) -> str:
+    from map_the_net_crawler_spark.psl import _PSL_RULES
+    vals = []
+    for rule in _PSL_RULES:
+        if rule.startswith("!"):
+            vals.append(f"('{rule[1:]}', 'e')")
+        elif rule.startswith("*."):
+            vals.append(f"('{rule[2:]}', 'w')")
+        else:
+            vals.append(f"('{rule}', 'p')")
+    rules_values = ", ".join(vals)
+    return f"""
+        WITH rules(rule, kind) AS (VALUES {rules_values}),
+        d AS (
+          SELECT DISTINCT regexp_replace(lower({netloc_x}), '^www\\.', '')
+            AS domain
+          FROM read_parquet('{_FIX}/link_candidates.parquet')),
+        l AS (SELECT domain, trim(lower(domain), '.') AS host,
+                     string_split(trim(lower(domain), '.'), '.') AS labels,
+                     len(string_split(trim(lower(domain), '.'), '.')) AS n
+              FROM d WHERE domain <> ''),
+        c AS (SELECT domain, host, labels, n,
+                     unnest(range(1, n + 1)) AS i FROM l),
+        c2 AS (SELECT domain, n, i,
+                 array_to_string(labels[i:n], '.') AS cand,
+                 CASE WHEN i < n THEN array_to_string(labels[i+1:n], '.')
+                      ELSE '' END AS rest
+               FROM c),
+        m AS (SELECT c2.domain, c2.i,
+                CASE WHEN e.rule IS NOT NULL THEN c2.n - c2.i
+                     WHEN p.rule IS NOT NULL THEN c2.n - c2.i + 1
+                     WHEN c2.rest <> '' AND w.rule IS NOT NULL
+                       THEN c2.n - c2.i + 1
+                     ELSE NULL END AS suffix_len
+              FROM c2
+              LEFT JOIN rules e ON e.kind = 'e' AND e.rule = c2.cand
+              LEFT JOIN rules p ON p.kind = 'p' AND p.rule = c2.cand
+              LEFT JOIN rules w ON w.kind = 'w' AND w.rule = c2.rest),
+        best AS (SELECT domain, suffix_len FROM (
+            SELECT domain, suffix_len, row_number() OVER (
+              PARTITION BY domain ORDER BY i) AS rn
+            FROM m WHERE suffix_len IS NOT NULL) WHERE rn = 1),
+        sl AS (SELECT l.domain, l.host, l.labels, l.n,
+                      coalesce(b.suffix_len, 0) AS suffix_len
+               FROM l LEFT JOIN best b USING (domain))
+        SELECT domain,
+          CASE WHEN suffix_len >= n THEN ''
+               WHEN n - suffix_len >= 2
+                 THEN coalesce(array_to_string(labels[1:n-suffix_len-1], '.'), '')
+               ELSE '' END AS subdomain,
+          CASE WHEN suffix_len >= n THEN '' ELSE labels[n-suffix_len] END
+            AS registrable,
+          CASE WHEN suffix_len >= n THEN host
+               WHEN suffix_len > 0
+                 THEN coalesce(array_to_string(labels[n-suffix_len+1:n], '.'), '')
+               ELSE '' END AS suffix
+        FROM sl
+    """
+
+
+def _sql_lang_quality() -> str:
+    from map_the_net_crawler_spark.functions.text import STOPWORDS
+    toks = ("list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), "
+            "x -> x <> '')")
+    ratio = {}
+    for lang, words in STOPWORDS.items():
+        lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        ratio[lang] = (f"(CASE WHEN len(toks) > 0 THEN len(list_filter(toks, "
+                       f"x -> list_contains({lst}, lower(x))))::DOUBLE "
+                       f"/ len(toks) ELSE 0.0 END)")
+    greatest = "greatest(" + ", ".join(f"r_{g}" for g in STOPWORDS) + ")"
+    lang_case = ("CASE WHEN " + greatest + " <= 0.0 THEN 'und' "
+                 + " ".join(f"WHEN r_{g} = {greatest} THEN '{g}'"
+                            for g in STOPWORDS)
+                 + " ELSE 'und' END")
+    ratio_cols = ", ".join(f"{expr} AS r_{g}" for g, expr in ratio.items())
+    return f"""
+        WITH t AS (
+          SELECT doc_id, coalesce(text, '') AS txt, {toks} AS toks
+          FROM documents),
+        r AS (SELECT doc_id, txt, toks, {ratio_cols} FROM t),
+        m AS (SELECT doc_id, txt, toks, r_en, {lang_case} AS lang_id,
+                length(txt) AS n_chars,
+                CASE WHEN length(txt) > 0 THEN
+                  length(regexp_replace(txt,
+                    '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))::DOUBLE
+                  / length(txt) ELSE 0.0 END AS punct,
+                CASE WHEN len(toks) > 0 THEN
+                  list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                  / len(toks) ELSE 0.0 END AS mwl
+              FROM r)
+        SELECT doc_id, lang_id,
+          round(((CASE WHEN n_chars >= 200 AND n_chars <= 100000 THEN 1.0
+                       WHEN n_chars >= 50 THEN 0.5 ELSE 0.0 END)
+               + (CASE WHEN r_en >= 0.05 THEN 1.0 ELSE r_en * 20.0 END)
+               + (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END)
+               + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END)
+                ) / 4.0, 6) AS quality_score
+        FROM m
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -840,6 +1096,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM s GROUP BY user_id, sid
         """,
+        "q_minhash_lsh": _sql_minhash_lsh("doc_id < 200", n_hashes=16,
+                                          bands=8, shingle_n=2, thr=0.2,
+                                          max_bucket=1000),
+        "q_simhash": _sql_simhash("doc_id < 200", shingle_n=2, band_bits=15,
+                                  max_hamming=16),
+        "q_ann_lsh": _sql_ann_lsh(dim=64, n_planes=4, k=5),
+        "q_ann_ivf": _sql_ann_ivf(n_cells=8, nprobe=3, k=5),
+        "q_psl_registrable": _sql_psl(netloc_x),
+        "q_lang_quality": _sql_lang_quality(),
         "q_ann_cosine": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings WHERE vec_id < 10),

@@ -1,24 +1,38 @@
 """Similarity search over an embedding column (array<float>).
 
-- brute_force_cosine_topk: the exactness baseline — cross join pruned to
-  (query × corpus) with the dot product computed by F.zip_with/aggregate
-  (JVM-side, no Python).  Fine for broadcast-sized query sets; the
-  corpus side streams and scales with executors.
+- brute_force_cosine_topk: the exactness baseline.  The query side is
+  driver-collected (broadcast-sized by contract — the same bound the
+  BroadcastNestedLoopJoin variant assumed); the corpus side streams
+  through an Arrow ``mapInPandas`` numpy-matmul kernel that emits only a
+  per-partition local top-k per query, so the final rank window sees
+  n_queries × k × n_partitions rows, never the full cross product.
 - lsh_bucketed_topk: the scale path — random-hyperplane LSH signatures
-  bucket the corpus; each query only scans its matching buckets
-  (multi-probe = exact bucket here).  Signatures are deterministic
-  (hash-derived hyperplanes, no RNG state).
-- ivf_topk: IVF-style coarse quantization — k centroid rows (tiny,
-  broadcast) assign each vector to its nearest centroid; queries scan
-  only ``nprobe`` nearest centroid cells.
+  bucket the corpus; each query only scans its matching bucket.
+  Hyperplanes are sha256-derived (deterministic, no RNG state, and
+  reproducible in the DuckDB oracle as literal vectors).
+- ivf_topk: IVF-style coarse quantization — n_cells centroid rows picked
+  deterministically (smallest md5(id), stable under any partitioning);
+  vectors are assigned by max cosine; queries scan ``nprobe`` cells.
 
-All return (query_id, neighbor_id, cosine, rank).
+All pair scoring after a join goes through ``cosine_pairs_pd`` — an
+Arrow-vectorized numpy kernel — never the interpreted higher-order
+function expression (round-1 bench: the expression variant was ~1000×
+off numpy speed; see VERDICT round 1).  All operators return
+(query_id, neighbor_id, cosine, rank) with cosine rounded to 6 decimals
+BEFORE any top-k cut so partition-local pruning and the final rank
+window (cosine desc, neighbor_id asc) agree on ties.
 """
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 
 def _dot(a, b):
@@ -32,6 +46,9 @@ def _norm(a):
 
 
 def cosine_col(a, b):
+    """Pure-Column cosine — interpreted higher-order functions; correct
+    but slow.  Kept for tiny inputs and as the expression-level spec; the
+    hot paths use ``cosine_pairs_pd``."""
     na, nb = _norm(a), _norm(b)
     return F.when((na > 0) & (nb > 0), _dot(a, b) / (na * nb)) \
             .otherwise(F.lit(0.0))
@@ -41,46 +58,107 @@ def _as_double(col):
     return F.transform(col, lambda v: v.cast("double"))
 
 
-def brute_force_cosine_topk(queries: DataFrame, corpus: DataFrame,
-                            k: int = 10, id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> DataFrame:
-    """Exact top-k cosine neighbors for every query vector.  The query
-    side is broadcast; ranking is a per-query window (partitioned by
-    query_id — parallel across queries)."""
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       _as_double(F.col(vec_col)).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      _as_double(F.col(vec_col)).alias("c_vec"))
-    scored = (F.broadcast(q).crossJoin(c)
-              .filter(F.col("query_id") != F.col("neighbor_id"))
-              .select("query_id", "neighbor_id",
-                      F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6)
-                      .alias("cosine")))
+def _stack(series: pd.Series) -> np.ndarray:
+    return np.array(series.tolist(), dtype=np.float64)
+
+
+@pandas_udf(DoubleType())
+def cosine_pairs_pd(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized pairwise cosine over two array columns of equal dim —
+    one Arrow batch → one numpy einsum (zero-norm rows score 0.0)."""
+    A, B = _stack(a), _stack(b)
+    na = np.linalg.norm(A, axis=1)
+    nb = np.linalg.norm(B, axis=1)
+    denom = na * nb
+    dots = np.einsum("ij,ij->i", A, B)
+    out = np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), 0.0)
+    return pd.Series(out)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
 
 
-def _hyperplane(dim: int, plane_idx: int):
-    """Deterministic pseudo-random hyperplane: component j of plane p is
-    a hash-derived value in [-1, 1] — no RNG state, reproducible on any
-    executor."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: (F.pmod(F.xxhash64(F.concat_ws(
-            ":", F.lit(plane_idx), j.cast("string"))), F.lit(10000))
-            .cast("double") / 5000.0) - 1.0)
+def brute_force_cosine_topk(queries: DataFrame, corpus: DataFrame,
+                            k: int = 10, id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    The query matrix is collected to the driver (queries are
+    broadcast-sized by contract) and closure-shipped to an Arrow
+    ``mapInPandas`` kernel over the corpus: per Arrow batch one
+    normalized matmul, then a local top-(k+1) per query (the +1 absorbs
+    a potential self-match, dropped afterwards).  The shuffle into the
+    final rank window carries only ~n_queries × (k+1) rows per
+    partition."""
+    spark = corpus.sparkSession
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return spark.createDataFrame([], out_schema + ", rank int")
+
+    q_ids = np.asarray([r[0] for r in q_rows])
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+    Qn = Q / np.where(qn > 0, qn, 1.0)[:, None]   # zero-norm rows stay 0
+    m = k + 1
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n_ids = pdf["neighbor_id"].to_numpy()
+            C = _stack(pdf["vec"])
+            cn = np.linalg.norm(C, axis=1)
+            sims = Qn @ (C / np.where(cn > 0, cn, 1.0)[:, None]).T
+            sims[:, cn == 0] = 0.0
+            # round BEFORE the local cut so partition pruning and the
+            # final window rank ties identically
+            sims = np.round(sims, 6)
+            take = min(m, sims.shape[1])
+            for qi in range(sims.shape[0]):
+                row = sims[qi]
+                idx = np.lexsort((n_ids, -row))[:take]
+                yield pd.DataFrame({"query_id": np.repeat(q_ids[qi], take),
+                                    "neighbor_id": n_ids[idx],
+                                    "cosine": row[idx]})
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("vec"))
+    scored = (c.mapInPandas(score, out_schema)
+              .filter(F.col("query_id") != F.col("neighbor_id")))
+    return _rank_topk(scored, k)
 
 
-def lsh_signature_col(vec, dim: int, n_planes: int = 16):
-    """Sign pattern of the vector against n deterministic hyperplanes,
-    packed into a long."""
-    sig = F.lit(0).cast("long")
+def hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes: component j of plane p is
+    sha256-derived in [-1, 1) — no RNG state, reproducible anywhere
+    (including as literals inside the DuckDB oracle SQL)."""
+    H = np.empty((n_planes, dim), dtype=np.float64)
     for p in range(n_planes):
-        d = _dot(vec, _hyperplane(dim, p))
-        sig = sig.bitwiseOR(F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-                            .cast("long"))
+        for j in range(dim):
+            h = int.from_bytes(
+                hashlib.sha256(f"plane:{p}:{j}".encode()).digest()[:8], "big")
+            H[p, j] = (h % 10000) / 5000.0 - 1.0
+    return H
+
+
+def lsh_signature_udf(dim: int, n_planes: int):
+    """Arrow UDF: sign pattern of the vector against the deterministic
+    hyperplanes, packed into a long (bit p = dot(vec, plane_p) >= 0)."""
+    H = hyperplanes(dim, n_planes)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("long")
+    def sig(v: pd.Series) -> pd.Series:
+        V = _stack(v)
+        bits = (V @ H.T) >= 0
+        return pd.Series(bits.astype(np.int64) @ weights)
+
     return sig
 
 
@@ -90,64 +168,64 @@ def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, dim: int,
                       vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket; exact
     cosine + window rank inside the bucket.  One shuffle keyed by bucket."""
+    sig = lsh_signature_udf(dim, n_planes)
+
     def with_sig(df, id_alias, vec_alias):
-        v = _as_double(F.col(vec_col))
         return df.select(F.col(id_col).alias(id_alias),
-                         v.alias(vec_alias),
-                         lsh_signature_col(v, dim, n_planes).alias("bucket"))
+                         F.col(vec_col).alias(vec_alias),
+                         sig(F.col(vec_col)).alias("bucket"))
+
     q = with_sig(queries, "query_id", "q_vec")
     c = with_sig(corpus, "neighbor_id", "c_vec")
     scored = (q.join(c, "bucket")
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
-                      F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6)
+                      F.round(cosine_pairs_pd(F.col("q_vec"), F.col("c_vec")), 6)
                       .alias("cosine")))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
-                                               F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    return _rank_topk(scored, k)
 
 
 def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int,
              n_cells: int = 16, nprobe: int = 4, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF-style ANN: deterministic centroid seeds (hash-chosen corpus
-    rows), cell assignment by max cosine, queries probe nprobe cells."""
+    """IVF-style ANN: centroids = the n_cells corpus rows with the
+    smallest md5(id) hex (lexicographic min of fixed-length hex ==
+    numeric min — deterministic under any partitioning, and the same
+    pick the DuckDB oracle makes); cell assignment by max cosine
+    (rounded to 6, ties to the lower cell id); queries probe the
+    ``nprobe`` nearest cells."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      _as_double(F.col(vec_col)).alias("c_vec"))
-    # deterministic centroid pick: the n_cells corpus rows with the
-    # smallest xxhash64(id) — stable under any partitioning
-    cent = (c.withColumn("_h", F.xxhash64(F.col("neighbor_id")))
-            .orderBy("_h").limit(n_cells)
-            .select(F.monotonically_increasing_id().alias("_tmp"),
-                    F.col("c_vec").alias("cent_vec"))
-            .withColumn("cell", F.row_number().over(
-                Window.orderBy("_tmp")) - 1)
-            .drop("_tmp"))
-    cent = F.broadcast(cent)
+                      F.col(vec_col).alias("c_vec"))
+    cent_rows = (c.withColumn("_h", F.md5(F.col("neighbor_id").cast("string")))
+                 .orderBy("_h", "neighbor_id").limit(n_cells)
+                 .select("c_vec").collect())
+    M = np.array([list(r[0]) for r in cent_rows], dtype=np.float64)
+    mn = np.linalg.norm(M, axis=1)
+    Mn = M / np.where(mn > 0, mn, 1.0)[:, None]
 
-    def assign(df, vec_name, keep, n_keep):
-        scored = df.crossJoin(cent).select(
-            *keep, F.col("cell"),
-            cosine_col(F.col(vec_name), F.col("cent_vec")).alias("_sim"))
-        w = Window.partitionBy(*keep).orderBy(F.col("_sim").desc(),
-                                              F.col("cell").asc())
-        return (scored.withColumn("_r", F.row_number().over(w))
-                .filter(F.col("_r") <= n_keep).drop("_r", "_sim"))
+    def assign_udf(n_keep: int):
+        @pandas_udf("array<int>")
+        def assign(v: pd.Series) -> pd.Series:
+            V = _stack(v)
+            vn = np.linalg.norm(V, axis=1)
+            sims = np.round((V / np.where(vn > 0, vn, 1.0)[:, None]) @ Mn.T, 6)
+            sims[vn == 0, :] = 0.0
+            cells = np.arange(sims.shape[1])
+            out = [np.lexsort((cells, -row))[:n_keep].astype(np.int32)
+                   for row in sims]
+            return pd.Series(out)
+        return assign
 
-    c_assigned = assign(c, "c_vec", ["neighbor_id"], 1) \
-        .join(c, "neighbor_id")
+    c_assigned = c.withColumn("cell",
+                              F.element_at(assign_udf(1)(F.col("c_vec")), 1))
     q = queries.select(F.col(id_col).alias("query_id"),
-                       _as_double(F.col(vec_col)).alias("q_vec"))
-    q_assigned = assign(q, "q_vec", ["query_id"], nprobe).join(q, "query_id")
+                       F.col(vec_col).alias("q_vec"))
+    q_assigned = q.withColumn("cell",
+                              F.explode(assign_udf(nprobe)(F.col("q_vec"))))
 
     scored = (q_assigned.join(c_assigned, "cell")
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
-                      F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6)
+                      F.round(cosine_pairs_pd(F.col("q_vec"), F.col("c_vec")), 6)
                       .alias("cosine")))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
-                                               F.col("neighbor_id").asc())
-    return (scored.dropDuplicates(["query_id", "neighbor_id"])
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    return _rank_topk(scored, k)
