@@ -83,14 +83,26 @@ def q_frontier_claim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_frontier_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S11/A4: GREATEST(priority)/LEAST(depth) merge (database.py:321-323)."""
+    """S11/A4: INSERT..ON DUPLICATE KEY merge (database.py:321-323) via
+    the real operator: GREATEST(priority)/LEAST(depth), incumbent row
+    keeps its other fields (status/error_message), genuinely-new rows
+    insert whole.  Exercises the explicitly-ordered pick."""
+    from map_the_net_crawler_spark.operators.frontier import \
+        merge_frontier_upsert
     f = _fx(spark, "frontier_seed")
-    dup = f.select("url", (F.col("priority") + 2).alias("priority"),
-                   (F.col("depth") + 1).alias("depth"))
-    base = f.select("url", "priority", "depth")
-    return (base.unionByName(dup).groupBy("url")
-            .agg(F.max("priority").alias("priority"),
-                 F.min("depth").alias("depth")))
+    dup = f.select(
+        "url", "domain_name", "source_domain",
+        (F.col("priority") + 2).alias("priority"),
+        F.lit("dup-status").alias("status"),
+        (F.col("discovery_seq") + 10000).alias("discovery_seq"),
+        "discovery_ts",
+        (F.col("depth") + 1).alias("depth"),
+        F.lit("dup-err").alias("error_message"),
+        F.col("processed_iteration"))
+    fresh = dup.withColumn("url", F.concat(F.col("url"), F.lit("?fresh")))
+    out = merge_frontier_upsert(f, dup.unionByName(fresh))
+    return out.select("url", "priority", "depth", "status",
+                      "error_message", "discovery_seq")
 
 
 def q_queue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,6 +199,21 @@ def q_whois_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
                     normalize_date(F.col("created_date_raw")).alias("created_date"),
                     normalize_date(F.col("expiry_date_raw")).alias("expiry_date"),
                     "registrar"))
+
+
+def q_whois_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13: regex-alternation extraction over raw WHOIS response text
+    (domain_collector.py:672-733), incl. the 'Sponsoring Registrar'
+    substring-precedence quirk and 3-format date normalization."""
+    from map_the_net_crawler_spark.functions.classify import (
+        whois_created_from_text, whois_expiry_from_text,
+        whois_registrar_from_text)
+    w = _fx(spark, "whois_raw")
+    t = F.col("whois_text")
+    return w.select("domain",
+                    whois_registrar_from_text(t).alias("registrar"),
+                    whois_created_from_text(t).alias("created_date"),
+                    whois_expiry_from_text(t).alias("expiry_date"))
 
 
 def q_dns_parent_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -492,6 +519,70 @@ def q_ugc_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ugc_purge_candidates(d)
 
 
+def q_metrics_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13/A5/C11: the collection-log counters as a SQL-checkable
+    composition — per source domain, relationships_found/urls_discovered
+    = surviving links after the F1-F9 filter + doc-order dedup + cap 12
+    (domain_collector.py:1292-1296: one append per surviving link), and
+    processing_time = DECIMAL(10,3) work-units rounding (C11).  The real
+    crawl metrics table is pinned against the sequential oracle in
+    tests/test_crawl_equivalence.py::test_metrics."""
+    lf = q_link_filter(spark, sf_dir)
+    w_d = Window.partitionBy("src_domain", "target_domain").orderBy("pos")
+    d = (lf.withColumn("rn", F.row_number().over(w_d))
+         .filter(F.col("rn") == 1))
+    w_c = Window.partitionBy("src_domain").orderBy("pos")
+    c = (d.withColumn("cap_rank", F.row_number().over(w_c))
+         .filter(F.col("cap_rank") <= 12))
+    out = c.groupBy("src_domain").agg(
+        F.count("*").cast("int").alias("relationships_found"),
+        F.count("*").cast("int").alias("urls_discovered"))
+    return out.select(
+        "src_domain", "relationships_found", "urls_discovered",
+        F.round((F.lit(1) + F.col("relationships_found")
+                 + F.col("urls_discovered")) * 0.001, 3)
+        .cast("decimal(10,3)").alias("processing_time"))
+
+
+def q_backfill_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 backfill (fill_missing_domain_data.py:85-164): nodes with
+    null enrichment fields re-run the S4-S7 joins; non-null-wins merge.
+    Synthetic holes: every field null except registrar='KeepMe' on an
+    md5-keyed subset (proves existing values survive the merge)."""
+    from map_the_net_crawler_spark.operators.maintenance import \
+        backfill_missing
+    d = _fx(spark, "dns").select("domain")
+    keep_reg = F.substring(F.md5(F.col("domain")), 1, 1) < F.lit("8")
+    nodes = d.select(
+        F.xxhash64("domain").alias("domain_id"),
+        F.col("domain").alias("domain_name"),
+        F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("string").alias("description"),
+        F.lit(None).cast("string").alias("favicon_url"),
+        F.lit(None).cast("date").alias("created_date"),
+        F.lit(None).cast("date").alias("expiry_date"),
+        F.when(keep_reg, F.lit("KeepMe")).alias("registrar"),
+        F.lit(None).cast("array<string>").alias("nameservers"),
+        F.lit(None).cast("string").alias("asn"),
+        F.lit(None).cast("string").alias("asn_description"),
+        F.lit(None).cast("boolean").alias("ssl_valid"),
+        F.lit(None).cast("date").alias("ssl_expiry"),
+        F.lit(None).cast("string").alias("country"),
+        F.lit(None).cast("string").alias("ip_address"),
+        F.lit(None).cast("decimal(10,8)").alias("latitude"),
+        F.lit(None).cast("decimal(11,8)").alias("longitude"),
+        F.lit(None).cast("string").alias("category"),
+        F.lit(None).cast("array<string>").alias("tags"),
+        F.lit(0).alias("updated_iteration"))
+    out = backfill_missing(nodes, _fx(spark, "whois"), _fx(spark, "dns"),
+                           _fx(spark, "ssl"), _fx(spark, "geo"))
+    return out.select(
+        "domain_name", "created_date", "expiry_date", "registrar",
+        F.concat_ws(",", F.coalesce(F.col("nameservers"), F.array()))
+        .alias("nameservers_csv"),
+        "ssl_valid", "country", "ip_address", "asn")
+
+
 def q_top_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 top-10-by-count shape (archive_collection_logs.py:55-64) with a
     deterministic tiebreak, over the events table."""
@@ -503,6 +594,8 @@ def q_top_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "q_metrics_log": q_metrics_log,
+        "q_backfill_merge": q_backfill_merge,
         "q_ugc_purge": q_ugc_purge,
         "q_top_agents": q_top_agents,
         "q_frontier_claim": q_frontier_claim,
@@ -513,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_domain_exclusion": q_domain_exclusion,
         "q_naive_main_domain": q_naive_main_domain,
         "q_whois_dates": q_whois_dates,
+        "q_whois_text_extract": q_whois_text_extract,
         "q_dns_parent_fallback": q_dns_parent_fallback,
         "q_redirect_classify": q_redirect_classify,
         "q_per_page_caps": q_per_page_caps,
@@ -774,6 +868,37 @@ def _sql_psl(netloc_x: str) -> str:
     """
 
 
+def _sql_whois_text() -> str:
+    from map_the_net_crawler_spark.functions.classify import (
+        WHOIS_CREATED_PATTERNS, WHOIS_EXPIRY_PATTERNS,
+        WHOIS_REGISTRAR_PATTERNS)
+
+    def first(patterns):
+        vals = ", ".join(
+            f"nullif(regexp_extract(whois_text, '(?i){p}', 1), '')"
+            for p in patterns)
+        return (f"regexp_replace(coalesce({vals}), "
+                "'^\\s+|\\s+$', '', 'g')")
+
+    def dates(raw):
+        return (f"coalesce(try_strptime({raw}, '%Y-%m-%d'), "
+                f"try_strptime({raw}, '%Y-%m-%d %H:%M:%S'), "
+                f"try_strptime({raw}, '%d-%b-%Y'))::date")
+
+    return f"""
+        WITH w AS (
+          SELECT domain,
+            {first(WHOIS_REGISTRAR_PATTERNS)} AS registrar,
+            {first(WHOIS_CREATED_PATTERNS)} AS craw,
+            {first(WHOIS_EXPIRY_PATTERNS)} AS eraw
+          FROM read_parquet('{_FIX}/whois_raw.parquet'))
+        SELECT domain, registrar,
+          {dates('craw')} AS created_date,
+          {dates('eraw')} AS expiry_date
+        FROM w
+    """
+
+
 def _sql_lang_quality() -> str:
     from map_the_net_crawler_spark.functions.text import STOPWORDS
     toks = ("list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), "
@@ -821,21 +946,7 @@ def oracle_sql() -> dict[str, str]:
     netloc_x = "regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)"
     path_x = "regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
     query_x = "regexp_extract(href, '^[^?#]*\\?([^#]*)', 1)"
-    return {
-        "q_ugc_purge": f"""
-            WITH d AS (
-              SELECT DISTINCT regexp_replace(lower({netloc_x}), '^www\\.', '')
-                AS domain_name
-              FROM read_parquet('{_FIX}/link_candidates.parquet'))
-            SELECT domain_name FROM d
-            WHERE domain_name <> ''
-              AND regexp_matches(lower(domain_name), '{pattern_re}')
-        """,
-        "q_top_agents": """
-            SELECT user_id, count(*) AS cnt FROM events
-            GROUP BY user_id ORDER BY cnt DESC, user_id ASC LIMIT 10
-        """,
-        "q_link_filter": f"""
+    link_filter_sql = f"""
             WITH l AS (
               SELECT pos, href, link_text, src_domain,
                 {netloc_x} AS netloc, {path_x} AS path, {query_x} AS query
@@ -864,7 +975,38 @@ def oracle_sql() -> dict[str, str]:
               AND NOT list_contains(
                     ['click here','read more','learn more','continue','next','previous'],
                     lower(txt))
+    """
+    return {
+        "q_metrics_log": f"""
+            WITH lf AS ({link_filter_sql}),
+            d AS (SELECT *, row_number() OVER (
+                    PARTITION BY src_domain, target_domain ORDER BY pos) AS rn
+                  FROM lf),
+            c AS (SELECT src_domain, row_number() OVER (
+                    PARTITION BY src_domain ORDER BY pos) AS cap_rank
+                  FROM d WHERE rn = 1),
+            a AS (SELECT src_domain, count(*)::INT AS relationships_found,
+                         count(*)::INT AS urls_discovered
+                  FROM c WHERE cap_rank <= 12 GROUP BY src_domain)
+            SELECT src_domain, relationships_found, urls_discovered,
+              round((1 + relationships_found + urls_discovered) * 0.001, 3)
+                ::DECIMAL(10,3) AS processing_time
+            FROM a
         """,
+        "q_ugc_purge": f"""
+            WITH d AS (
+              SELECT DISTINCT regexp_replace(lower({netloc_x}), '^www\\.', '')
+                AS domain_name
+              FROM read_parquet('{_FIX}/link_candidates.parquet'))
+            SELECT domain_name FROM d
+            WHERE domain_name <> ''
+              AND regexp_matches(lower(domain_name), '{pattern_re}')
+        """,
+        "q_top_agents": """
+            SELECT user_id, count(*) AS cnt FROM events
+            GROUP BY user_id ORDER BY cnt DESC, user_id ASC LIMIT 10
+        """,
+        "q_link_filter": link_filter_sql,
         "q_domain_exclusion": f"""
             WITH d AS (
               SELECT DISTINCT regexp_replace(lower({netloc_x}), '^www\\.', '') AS domain
@@ -902,13 +1044,65 @@ def oracle_sql() -> dict[str, str]:
             WHERE claim_rank <= 10
         """,
         "q_frontier_merge": f"""
+            -- incumbent keeps status/error; priority=GREATEST, depth=LEAST,
+            -- seq=LEAST; urls only in the new batch insert whole
             WITH base AS (
-              SELECT url, priority, depth
-              FROM read_parquet('{_FIX}/frontier_seed.parquet')),
-            dup AS (SELECT url, priority + 2 AS priority, depth + 1 AS depth FROM base)
-            SELECT url, max(priority) AS priority, min(depth) AS depth
-            FROM (SELECT * FROM base UNION ALL SELECT * FROM dup) u
-            GROUP BY url
+              SELECT * FROM read_parquet('{_FIX}/frontier_seed.parquet'))
+            SELECT url, priority + 2 AS priority, depth,
+                   status, error_message, discovery_seq
+            FROM base
+            UNION ALL
+            SELECT url || '?fresh', priority + 2, depth + 1,
+                   'dup-status', 'dup-err', discovery_seq + 10000
+            FROM base
+        """,
+        "q_backfill_merge": f"""
+            WITH d AS (SELECT domain FROM read_parquet('{_FIX}/dns.parquet')),
+            n AS (SELECT domain AS domain_name,
+                    CASE WHEN substring(md5(domain), 1, 1) < '8'
+                         THEN 'KeepMe' END AS reg0,
+                    CASE WHEN len(string_split(domain, '.')) > 2
+                         THEN array_to_string(string_split(domain, '.')[-2:], '.')
+                         ELSE domain END AS main_domain
+                  FROM d),
+            w AS (SELECT domain,
+                    coalesce(try_strptime(created_date_raw, '%Y-%m-%d'),
+                             try_strptime(created_date_raw, '%Y-%m-%d %H:%M:%S'),
+                             try_strptime(created_date_raw, '%d-%b-%Y'))::date AS wc,
+                    coalesce(try_strptime(expiry_date_raw, '%Y-%m-%d'),
+                             try_strptime(expiry_date_raw, '%Y-%m-%d %H:%M:%S'),
+                             try_strptime(expiry_date_raw, '%d-%b-%Y'))::date AS we,
+                    registrar AS wr
+                  FROM read_parquet('{_FIX}/whois.parquet')),
+            preg AS (SELECT domain AS main_domain,
+                       CASE WHEN substring(md5(domain), 1, 1) < '8'
+                            THEN 'KeepMe' END AS parent_reg
+                     FROM d),
+            dn AS (SELECT domain, nameservers, ip_address, asn
+                   FROM read_parquet('{_FIX}/dns.parquet'))
+            SELECT n.domain_name,
+              CASE WHEN n.domain_name = n.main_domain THEN w.wc END
+                AS created_date,
+              CASE WHEN n.domain_name = n.main_domain THEN w.we END
+                AS expiry_date,
+              coalesce(n.reg0,
+                CASE WHEN n.domain_name = n.main_domain THEN w.wr
+                     ELSE p.parent_reg END) AS registrar,
+              coalesce(array_to_string(
+                CASE WHEN own.nameservers IS NOT NULL THEN own.nameservers
+                     WHEN n.domain_name <> n.main_domain THEN par.nameservers
+                     END, ','), '') AS nameservers_csv,
+              coalesce(s.ssl_valid, false) AS ssl_valid,
+              g.country, own.ip_address, own.asn
+            FROM n
+            LEFT JOIN w ON w.domain = n.main_domain
+            LEFT JOIN preg p ON p.main_domain = n.main_domain
+            LEFT JOIN dn own ON own.domain = n.domain_name
+            LEFT JOIN dn par ON par.domain = n.main_domain
+            LEFT JOIN read_parquet('{_FIX}/ssl.parquet') s
+              ON s.domain = n.domain_name
+            LEFT JOIN read_parquet('{_FIX}/geo.parquet') g
+              ON g.ip_address = own.ip_address
         """,
         "q_queue_stats": f"""
             SELECT status, priority, count(*) AS cnt,
@@ -1104,6 +1298,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_lsh": _sql_ann_lsh(dim=64, n_planes=4, k=5),
         "q_ann_ivf": _sql_ann_ivf(n_cells=8, nprobe=3, k=5),
         "q_psl_registrable": _sql_psl(netloc_x),
+        "q_whois_text_extract": _sql_whois_text(),
         "q_lang_quality": _sql_lang_quality(),
         "q_ann_cosine": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv

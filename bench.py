@@ -146,13 +146,63 @@ def timed(fn):
     return round(time.time() - t0, 2), n
 
 
+def bench_membership(spark, n_frontier: int = 500_000,
+                     n_candidates: int = 200_000) -> dict:
+    """The north-rule membership path: anti-join of discovered URLs vs
+    the frontier url set, plain vs Bloom-prefiltered (10% of candidates
+    already exist).  Reports wall times AND the anti-join input shrink —
+    the number that matters at the 10^10-row scale."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from map_the_net_crawler_spark.operators.seen import anti_join_with_sketch
+    from map_the_net_crawler_spark.sketches import (bloom_probe_udf,
+                                                    build_bloom)
+
+    d = _tf.mkdtemp(prefix="mtn_membench_")
+    spark.range(n_frontier).select(
+        F.concat(F.lit("http://d"), F.col("id") % 50_000, F.lit(".com/p"),
+                 F.col("id")).alias("url")).write.parquet(f"{d}/frontier")
+    spark.range(n_candidates).select(
+        F.when(F.col("id") % 10 == 0,
+               F.concat(F.lit("http://d"), F.col("id") % 50_000,
+                        F.lit(".com/p"), F.col("id")))
+        .otherwise(F.concat(F.lit("http://n"), F.col("id") % 50_000,
+                            F.lit(".org/q"), F.col("id")))
+        .alias("clean_url")).write.parquet(f"{d}/cand")
+    frontier = spark.read.parquet(f"{d}/frontier")
+    cand = spark.read.parquet(f"{d}/cand")
+    keys = frontier.select(F.col("url").alias("clean_url"))
+
+    plain_sec, plain_n = timed(
+        lambda: anti_join_with_sketch(cand, keys, "clean_url").count())
+    t0 = time.time()
+    bloom = build_bloom(frontier, "url", n_frontier, 0.01)
+    build_sec = round(time.time() - t0, 2)
+    probe = bloom_probe_udf(spark, bloom)
+    bloom_sec, bloom_n = timed(
+        lambda: anti_join_with_sketch(cand, keys, "clean_url",
+                                      probe).count())
+    joined = cand.filter(probe(F.col("clean_url"))).count()
+    assert plain_n == bloom_n, "sketch changed the merge result"
+    shutil.rmtree(d, ignore_errors=True)
+    return {"candidates": n_candidates, "frontier": n_frontier,
+            "plain_anti_join_sec": plain_sec,
+            "bloom_build_sec": build_sec,
+            "bloom_anti_join_sec": bloom_sec,
+            "anti_join_input_rows_plain": n_candidates,
+            "anti_join_input_rows_bloom": joined,
+            "shuffle_shrink_factor": round(n_candidates / max(joined, 1), 2)}
+
+
 def bench_ops(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     import __spark_entry__ as E
     from map_the_net_crawler_spark.operators.dedup import minhash_lsh_pairs
-    from map_the_net_crawler_spark.operators.similarity import \
-        brute_force_cosine_topk
+    from map_the_net_crawler_spark.operators.similarity import (
+        brute_force_cosine_topk, ivf_topk, lsh_bucketed_topk)
 
     out = {}
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -163,6 +213,12 @@ def bench_ops(spark, sf_dir: str):
         jaccard_threshold=0.5).count())
     out["ann_cosine_topk"], _ = timed(lambda: brute_force_cosine_topk(
         emb.filter(F.col("vec_id") < 100), emb, k=10).count())
+    out["ann_lsh"], _ = timed(lambda: lsh_bucketed_topk(
+        emb.filter(F.col("vec_id") < 100), emb, dim=64, k=10,
+        n_planes=8).count())
+    out["ann_ivf"], _ = timed(lambda: ivf_topk(
+        emb.filter(F.col("vec_id") < 100), emb, dim=64, n_cells=16,
+        nprobe=4, k=10).count())
     out["exact_dedup"], _ = timed(
         lambda: E.q_dedup_exact(spark, sf_dir).count())
     out["text_metrics"], _ = timed(
@@ -187,6 +243,8 @@ def main():
     crawl = bench_crawl(spark, corpus)
     queries = {"crawl_iteration": crawl["sec_per_iteration"]}
     queries.update(bench_ops(spark, SF_DIR))
+    membership = bench_membership(spark)
+    queries["membership_bloom_anti_join"] = membership["bloom_anti_join_sec"]
     spark.stop()
 
     result["value"] = round(time.time() - t0, 2)
@@ -194,6 +252,7 @@ def main():
     result["crawl"] = {k: crawl[k] for k in
                        ("urls_per_sec", "sec_per_iteration",
                         "frontier_merge_sec_per_iteration", "urls_total")}
+    result["membership"] = membership
 
     if os.environ.get("MTN_BENCH_SCALING") == "1":
         # same job, same input, two cluster sizes (N and 4N cores) — the

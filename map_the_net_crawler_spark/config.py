@@ -32,8 +32,13 @@ class CrawlConfig:
     # Engine-only knobs
     politeness_window_s: float = 0.0  # 0 => politeness budget disabled (faithful claim mode)
     salt_buckets: int = 16            # skew salt for per-domain windows (SURVEY.md §4.2)
-    bloom_expected_items: int = 1_000_000
+    # membership sketch pre-filtering the frontier anti-join in
+    # merge_discoveries: 'bloom' | 'cuckoo' | 'off'.  Results are
+    # bit-identical in all three modes (no-false-negative contract);
+    # the sketch only shrinks the anti-join shuffle (SURVEY.md §4.4).
+    membership_sketch: str = "bloom"
     bloom_fpp: float = 0.01
+    cuckoo_route_parts: int = 32
     shuffle_partitions: int = 32
 
     @property

@@ -273,6 +273,7 @@ def generate_fixtures(n_domains: int = 120, seed: int = 42,
     link_candidates = pd.DataFrame(link_cand)
 
     return {
+        "whois_raw": generate_whois_raw(),
         "pages": pages,
         "frontier_seed": frontier_seed,
         "robots": robots,
@@ -326,7 +327,59 @@ _ARROW_SCHEMAS = {
         ("href", pa.string()), ("link_text", pa.string()),
         ("src_domain", pa.string()), ("pos", pa.int64()),
     ]),
+    "whois_raw": pa.schema([
+        ("domain", pa.string()), ("whois_text", pa.string()),
+    ]),
 }
+
+
+def generate_whois_raw(n: int = 60) -> "pd.DataFrame":
+    """Raw WHOIS response texts for the C13 regex-alternation extractor
+    (domain_collector.py:672-733).  Deterministic templates cycling every
+    key variant, all three date formats, case quirks, the
+    'Sponsoring Registrar' substring-precedence quirk, bogus dates and
+    missing fields."""
+    rows = []
+    for i in range(n):
+        d = f"whois-{i}.example"
+        day = 1 + (i % 27)
+        v = i % 8
+        if v == 0:
+            txt = (f"Domain Name: {d}\nRegistrar: Alpha Registrar {i}\n"
+                   f"Creation Date: 2019-03-{day:02d}\n"
+                   f"Registry Expiry Date: 2026-03-{day:02d}\n")
+        elif v == 1:
+            txt = (f"Registrar Name: Beta Names {i}\n"
+                   f"Created: 2020-05-{day:02d} 10:11:12\n"
+                   f"Expiration Date: 2027-01-{day:02d} 08:09:10\n")
+        elif v == 2:
+            txt = (f"Sponsoring Registrar: Gamma Corp {i}\n"
+                   f"Created Date: {day:02d}-Mar-2018\n"
+                   f"Expires: {day:02d}-Jan-2030\n")
+        elif v == 3:
+            # lower-case keys: re.IGNORECASE must still match
+            txt = (f"registrar:   Spaced Reg {i}   \n"
+                   f"creation date: 2021-07-{day:02d}\n"
+                   f"registry expiry date: 2028-07-{day:02d}\n")
+        elif v == 4:
+            # no registrar line; bogus created date; valid expiry
+            txt = (f"Domain: {d}\nCreation Date: sometime in 2019\n"
+                   f"Expires: 2029-12-{day:02d}\n")
+        elif v == 5:
+            # 'Sponsoring Registrar:' line is ALSO matched by the plain
+            # 'Registrar:' pattern (re.search substring quirk)
+            txt = (f"Sponsoring Registrar: Delta Inc {i}\n"
+                   f"Created: {day:02d}-Feb-2017\n")
+        elif v == 6:
+            txt = ""  # empty response
+        else:
+            txt = (f"% notice line\nRegistrar: Omega LLC {i}\n"
+                   f"Registrar Name: ShouldNotWin\n"
+                   f"Creation Date: 2022-11-{day:02d}\n"
+                   f"Registry Expiry Date: 2030-11-{day:02d} 23:59:59\n"
+                   f"Expires: 01-Jan-2031\n")
+        rows.append({"domain": d, "whois_text": txt})
+    return pd.DataFrame(rows)
 
 
 def write_fixtures(out_dir: str, **kwargs) -> dict[str, str]:

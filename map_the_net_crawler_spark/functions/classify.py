@@ -163,3 +163,38 @@ def normalize_date(raw: Column) -> Column:
         F.try_to_date(raw, "yyyy-MM-dd HH:mm:ss"),
         F.try_to_date(raw, "dd-MMM-yyyy"),
     )
+
+
+# --- C13: WHOIS raw-text field extraction (domain_collector.py:672-733) --
+# The reference re.search()es each pattern IGNORECASE anywhere in the
+# response and takes the first that hits; note 'Registrar:' substring-
+# matches inside 'Sponsoring Registrar:' lines — re.search has no word
+# anchor, and neither do these Column regexes, reproducing the quirk.
+
+WHOIS_REGISTRAR_PATTERNS = (r"Registrar:\s*(.+)", r"Registrar Name:\s*(.+)",
+                            r"Sponsoring Registrar:\s*(.+)")
+WHOIS_CREATED_PATTERNS = (r"Creation Date:\s*(.+)", r"Created:\s*(.+)",
+                          r"Created Date:\s*(.+)")
+WHOIS_EXPIRY_PATTERNS = (r"Registry Expiry Date:\s*(.+)",
+                         r"Expiration Date:\s*(.+)", r"Expires:\s*(.+)")
+
+
+def _whois_first_match(text: Column, patterns) -> Column:
+    """First pattern that matches, group(1) stripped ('.' stops at the
+    line end in Java regex exactly as in Python re without DOTALL)."""
+    vals = [F.nullif(F.regexp_extract(text, f"(?i){p}", 1), F.lit(""))
+            for p in patterns]
+    v = vals[0] if len(vals) == 1 else F.coalesce(*vals)
+    return F.regexp_replace(v, r"^\s+|\s+$", "")
+
+
+def whois_registrar_from_text(text: Column) -> Column:
+    return _whois_first_match(text, WHOIS_REGISTRAR_PATTERNS)
+
+
+def whois_created_from_text(text: Column) -> Column:
+    return normalize_date(_whois_first_match(text, WHOIS_CREATED_PATTERNS))
+
+
+def whois_expiry_from_text(text: Column) -> Column:
+    return normalize_date(_whois_first_match(text, WHOIS_EXPIRY_PATTERNS))

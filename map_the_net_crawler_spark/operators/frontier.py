@@ -120,7 +120,7 @@ def apply_claim_gates(claimed: DataFrame, seen_counts: DataFrame,
 def merge_discoveries(frontier: DataFrame, discoveries: DataFrame,
                       seen_counts: DataFrame, processed_domains: DataFrame,
                       cfg: CrawlConfig, next_seq: int,
-                      iteration: int) -> DataFrame:
+                      iteration: int, frontier_probe=None) -> DataFrame:
     """add_discovered_urls_to_queue (domain_collector.py:1314-1348) as a
     batch merge.
 
@@ -173,9 +173,15 @@ def merge_discoveries(frontier: DataFrame, discoveries: DataFrame,
               .filter(F.col("_eff_cnt") < cfg.max_urls_per_domain)
               .drop("seen_cnt", "_hist_rank", "_eff_cnt"))
 
-    # never re-add a URL that ever existed in the frontier
-    fresh = firsts.join(frontier.select(F.col("url").alias("clean_url")),
-                        "clean_url", "left_anti")
+    # never re-add a URL that ever existed in the frontier.  With a
+    # membership sketch (frontier_probe), provably-new URLs skip the
+    # anti-join shuffle; only might-contain rows join exactly
+    # (operators/seen.anti_join_with_sketch — bit-identical by the
+    # no-false-negative contract, reference probe database.py:494-506).
+    from .seen import anti_join_with_sketch
+    fresh = anti_join_with_sketch(
+        firsts, frontier.select(F.col("url").alias("clean_url")),
+        "clean_url", frontier_probe)
 
     seq_order = [*enqueue_order, F.col("clean_url").asc()]
     return (assign_global_sequence(fresh, seq_order, next_seq)
@@ -239,21 +245,24 @@ def assign_global_sequence(df: DataFrame, order_cols: list,
 
 
 def merge_frontier_upsert(frontier: DataFrame, new_rows: DataFrame) -> DataFrame:
-    """The MERGE flavor of S11 (database.py:321-323): on duplicate url keep
-    GREATEST(priority), LEAST(depth) — exposed as a standalone operator
-    (and exercised by the q_frontier_merge oracle query) even though the
-    canonical crawl path uses first-writer-wins."""
-    all_rows = frontier.unionByName(new_rows)
-    return (all_rows.groupBy("url")
-            .agg(F.first("domain_name").alias("domain_name"),
-                 F.first("source_domain").alias("source_domain"),
-                 F.max("priority").alias("priority"),
-                 F.first("status").alias("status"),
-                 F.min("discovery_seq").alias("discovery_seq"),
-                 F.min("discovery_ts").alias("discovery_ts"),
-                 F.min("depth").alias("depth"),
-                 F.first("error_message").alias("error_message"),
-                 F.first("processed_iteration").alias("processed_iteration")))
+    """The MERGE flavor of S11 (database.py:321-323): INSERT .. ON
+    DUPLICATE KEY UPDATE priority=GREATEST, depth=LEAST.  MySQL keeps the
+    INCUMBENT row's other fields, so the pick is explicitly ordered —
+    frontier rows before new rows, then insertion order — via a
+    row_number window (never unordered F.first(), which is
+    partition-order-dependent)."""
+    merged = frontier.withColumn("_gen", F.lit(0)).unionByName(
+        new_rows.withColumn("_gen", F.lit(1)))
+    w = Window.partitionBy("url").orderBy(F.col("_gen").asc(),
+                                          F.col("discovery_seq").asc())
+    agg = Window.partitionBy("url")
+    return (merged
+            .withColumn("priority", F.max("priority").over(agg))
+            .withColumn("depth", F.min("depth").over(agg))
+            .withColumn("discovery_seq", F.min("discovery_seq").over(agg))
+            .withColumn("discovery_ts", F.min("discovery_ts").over(agg))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn", "_gen"))
 
 
 def queue_stats(frontier: DataFrame) -> DataFrame:

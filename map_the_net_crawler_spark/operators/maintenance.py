@@ -80,6 +80,38 @@ def missing_field_nodes(nodes: DataFrame, fields: list[str]) -> DataFrame:
     return nodes.filter(cond).orderBy("domain_name")
 
 
+# the dimension-backed fields backfill re-collects
+# (fill_missing_domain_data.py:120-155 WHOIS/DNS/SSL/geo groups; the web
+# fields title/description/favicon belong to the crawl's fetch path)
+BACKFILL_FIELDS = ("created_date", "expiry_date", "registrar",
+                   "nameservers", "asn", "asn_description", "ssl_valid",
+                   "ssl_expiry", "country", "ip_address",
+                   "latitude", "longitude")
+
+
+def backfill_missing(nodes: DataFrame, whois: DataFrame, dns: DataFrame,
+                     ssl: DataFrame, geo: DataFrame) -> DataFrame:
+    """fill_missing_domain_data.py:85-164 as one dataflow: null-field
+    scan → re-run the enrichment joins (operators/enrich.enrich_batch,
+    the same S4-S7 sources) → non-null-wins merge into nodes
+    (COALESCE(existing, collected) per field).
+
+    Non-null-wins is the sane snapshot restatement: the reference's
+    literal ``insert_domain`` ON DUPLICATE overwrite (database.py:199-218)
+    applied to the partially-populated ``collected_data`` dict would null
+    out fields it did not re-collect; its *intent* (only fill what is
+    missing, :85-118) is the merge implemented here."""
+    from .enrich import enrich_batch
+    todo = missing_field_nodes(nodes, list(BACKFILL_FIELDS)) \
+        .select("domain_name", F.lit(0).alias("batch_rank"))
+    collected = enrich_batch(todo, whois, dns, ssl, geo, nodes).select(
+        "domain_name", *[F.col(f).alias(f"_new_{f}") for f in BACKFILL_FIELDS])
+    out = nodes.join(collected, "domain_name", "left")
+    for f in BACKFILL_FIELDS:
+        out = out.withColumn(f, F.coalesce(F.col(f), F.col(f"_new_{f}")))
+    return out.drop(*[f"_new_{f}" for f in BACKFILL_FIELDS])
+
+
 def wipe(spark, schema) -> DataFrame:
     """wipe_database.py:33-53 — overwrite with empty."""
     return spark.createDataFrame([], schema)

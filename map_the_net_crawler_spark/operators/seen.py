@@ -2,15 +2,14 @@
 §2.3 J7, §4.4).
 
 Exactness always comes from the left-anti join against the seen/frontier
-tables; the Bloom filter is a broadcastable *negative* pre-filter that
+tables; a membership sketch is a broadcastable *negative* pre-filter that
 lets the 10^10-scale merge skip the shuffle for the (vast majority of)
 URLs that were never seen.  Spark's built-in runtime bloom-filter join
 rule does not persist across iterations, so the engine builds its own
-with DataFrame.stat.bloomFilter over the canonical URL and re-applies it
-via a vectorized numpy membership UDF.  Per-partition cuckoo filters (the
-deletable-membership accelerator from BASELINE.json north_star) are
-implemented in sketches.py and validated there; the authoritative set is
-always the table.
+(sketches.BloomSketch / PartitionedCuckoo — numpy bitmaps built
+distributed, probed by an Arrow UDF; see sketches.py) and wires it into
+the frontier merge via ``anti_join_with_sketch`` below.  The
+authoritative set is always the table.
 """
 
 from __future__ import annotations
@@ -44,8 +43,26 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame,
         url_col, "left_anti")
 
 
+def anti_join_with_sketch(candidates: DataFrame, table_keys: DataFrame,
+                          key_col: str, probe=None) -> DataFrame:
+    """``candidates ANTI JOIN table_keys`` with an optional membership
+    sketch pre-filter (a might_contain pandas UDF from sketches.py).
+
+    The sketch has NO false negatives, so rows it rejects are provably
+    absent from the table and bypass the anti-join shuffle entirely;
+    only the might-contain fraction (true hits + fpp) is joined exactly.
+    Result is bit-identical to the plain anti-join for any such probe
+    (pinned by tests/test_crawl_variants.py)."""
+    if probe is None:
+        return candidates.join(table_keys, key_col, "left_anti")
+    flagged = candidates.withColumn("_maybe", probe(F.col(key_col)))
+    sure_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
+    maybe = flagged.filter(F.col("_maybe")).drop("_maybe")
+    return sure_new.unionByName(maybe.join(table_keys, key_col, "left_anti"))
+
+
 def build_seen_bloom(spark_df: DataFrame, expected: int, fpp: float):
-    """Broadcastable Bloom over seen urls (DataFrame.stat.bloomFilter —
-    built-in aggregation, one pass, no collect of raw urls)."""
-    n = max(expected, 1)
-    return spark_df.stat.bloomFilter("url", n, fpp)
+    """Broadcastable Bloom over seen urls — thin wrapper over
+    sketches.build_bloom (numpy bitmap, distributed build)."""
+    from ..sketches import build_bloom
+    return build_bloom(spark_df, "url", expected, fpp)

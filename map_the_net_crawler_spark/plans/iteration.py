@@ -129,7 +129,15 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     tio.write("gated", gated, iteration)
     tmr.lap("gated_write")
     gated = tio.read("gated", version=iteration)
-    n_claimed = gated.count()
+    # one aggregation action yields claimed/skipped/processed counts
+    # (was 3 separate .count() jobs — each re-ran a full job)
+    gstats = {r["gate_status"]: (r["n"], r["nd"]) for r in
+              gated.groupBy("gate_status")
+              .agg(F.count("*").alias("n"),
+                   F.countDistinct("domain_name").alias("nd")).collect()}
+    n_claimed = sum(n for n, _ in gstats.values())
+    n_skip = gstats.get("skipped", (0, 0))[0]
+    n_proc = gstats.get("process", (0, 0))[1]
     tmr.lap("claim_count")
     if n_claimed == 0:
         return IterationResult(iteration, 0, 0, 0, 0, next_seq, tmr.laps)
@@ -297,11 +305,16 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
                   .unionByName(edges_batch))
 
     # ---- seen upsert (S12) ---------------------------------------------
+    # links_found == len(relationships) (record_url_processing :1291 and
+    # update_collection_log relationships_found :527 use the same value);
+    # urls_discovered == len(discovered_urls) (one per surviving link,
+    # redirect-extra edges excluded — domain_collector.py:1281-1286)
     rel_counts = (rels.groupBy("domain_name")
                   .agg((F.count("*")
                         + F.sum(F.when(F.col("redirect_final_domain")
                                        .isNotNull(), 1).otherwise(0))
-                        ).cast("int").alias("links_found")))
+                        ).cast("int").alias("links_found"),
+                       F.count("*").cast("int").alias("urls_discovered")))
     seen_new = (batch.filter(F.col("robots_ok"))
                 .join(F.broadcast(rel_counts), "domain_name", "left")
                 .join(F.broadcast(extracted.filter(F.col("link_pos") == -1)
@@ -317,9 +330,30 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     seen_next = upsert_seen(seen, seen_new)
 
     # ---- frontier update ------------------------------------------------
+    # membership sketch over the frontier url set: provably-new
+    # discoveries skip the anti-join shuffle (SURVEY.md §4.4; bit-exact
+    # by the no-false-negative contract — tests/test_crawl_variants.py).
+    # ``next_seq`` counts every url ever inserted == |frontier|, so the
+    # sketch is sized exactly with zero extra actions; the blob is
+    # snapshotted beside the tables for lineage/resume.
+    frontier_probe = None
+    if cfg.membership_sketch == "bloom":
+        from ..sketches import bloom_probe_udf, build_bloom
+        sketch = build_bloom(frontier, "url", max(1024, next_seq),
+                             cfg.bloom_fpp)
+        frontier_probe = bloom_probe_udf(spark, sketch)
+        tio.write_blob("frontier_sketch", sketch.to_bytes(), iteration)
+    elif cfg.membership_sketch == "cuckoo":
+        from ..sketches import build_partitioned_cuckoo, cuckoo_probe_udf
+        pc = build_partitioned_cuckoo(
+            frontier, "url", cfg.cuckoo_route_parts,
+            max(64, (next_seq * 2) // cfg.cuckoo_route_parts))
+        frontier_probe = cuckoo_probe_udf(spark, pc)
+        tio.write_blob("frontier_sketch", pc.to_bytes(), iteration)
+    tmr.lap("sketch_build")
     new_pending = merge_discoveries(frontier, discoveries, scounts,
                                     processed_domains, cfg, next_seq,
-                                    iteration)
+                                    iteration, frontier_probe)
     tio.write("new_pending", new_pending, iteration)
     tmr.lap("new_pending_write")
     new_pending = tio.read("new_pending", version=iteration)
@@ -338,15 +372,34 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
                      .unionByName(claimed_updates)
                      .unionByName(new_pending))
 
-    # ---- metrics (S13) ---------------------------------------------------
-    metrics = (batch.select(
-        F.lit(iteration).alias("iteration"), "domain_name",
-        F.concat(F.lit("http://"), F.col("domain_name")).alias("url"),
-        F.lit("completed").alias("status"),
-        F.lit(None).cast("int").alias("relationships_found"),
-        F.lit(None).cast("int").alias("urls_discovered"),
-        F.lit(None).cast("string").alias("error_message"),
-        F.lit("spark-engine").alias("agent_name")))
+    # ---- metrics (S13/A5/C11) --------------------------------------------
+    # one collection_logs row per processed domain (update_collection_log,
+    # database.py:561-582): real relationships_found / urls_discovered
+    # from rel_counts.  processing_time is the reference's wall-clock
+    # rounded to DECIMAL(10,3) (database.py:132,566) — wall time is
+    # nondeterministic by nature, so the engine writes a deterministic
+    # work-units stand-in (1 fetch + 1ms per relationship/discovery),
+    # preserving the column, its type, and the round-to-3 semantics (C11).
+    n_rels = F.coalesce(F.col("links_found"), F.lit(0))
+    n_disc = F.coalesce(F.col("urls_discovered"), F.lit(0))
+    metrics_new = (batch
+                   .join(F.broadcast(rel_counts), "domain_name", "left")
+                   .select(
+                       F.lit(iteration).alias("iteration"), "domain_name",
+                       F.concat(F.lit("http://"),
+                                F.col("domain_name")).alias("url"),
+                       F.lit("completed").alias("status"),
+                       n_rels.alias("relationships_found"),
+                       n_disc.alias("urls_discovered"),
+                       F.lit(None).cast("string").alias("error_message"),
+                       (F.round((F.lit(1) + n_rels + n_disc) * 0.001, 3))
+                       .cast("decimal(10,3)").alias("processing_time"),
+                       F.lit("spark-engine").alias("agent_name")))
+    # collection_logs is append-only (INSERT, database.py:570-573): the
+    # snapshot accumulates; at scale this is an append of one iteration
+    # partition, not a rewrite
+    metrics = tio.read("metrics", S.METRICS, version=base) \
+        .unionByName(metrics_new)
 
     # ---- atomic commit: data writes fan out across scheduler threads
     # (independent Spark jobs), then the meta write is the commit point
@@ -363,8 +416,5 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     tmr.lap("tables_commit")
     tio.write_meta({"iteration": iteration, "next_seq": next_seq + n_new})
 
-    n_proc = batch.count()
-    n_skip = gated.filter(F.col("gate_status") == "skipped").count()
-    tmr.lap("final_counts")
     return IterationResult(iteration, n_claimed, n_proc, n_skip, n_new,
                            next_seq + n_new, tmr.laps)

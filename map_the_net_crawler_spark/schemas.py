@@ -98,6 +98,10 @@ METRICS = T.StructType([
     T.StructField("relationships_found", T.IntegerType(), True),
     T.StructField("urls_discovered", T.IntegerType(), True),
     T.StructField("error_message", T.StringType(), True),
+    # wall-clock in the reference (DECIMAL(10,3), database.py:132); the
+    # engine writes a deterministic work-units stand-in with the same
+    # type and rounding (C11)
+    T.StructField("processing_time", T.DecimalType(10, 3), True),
     T.StructField("agent_name", T.StringType(), True),
 ])
 

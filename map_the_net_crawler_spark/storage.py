@@ -84,6 +84,32 @@ class TableIO:
     def exists(self, name: str) -> bool:
         return self.current_version(name) is not None
 
+    # --- binary blobs (membership sketches), same versioned layout ------
+
+    def write_blob(self, name: str, blob: bytes, version: int) -> None:
+        d = self._table_dir(name)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"v{version:06d}.blob")
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        ptr_tmp = self._pointer_path(name) + f".tmp{os.getpid()}"
+        with open(ptr_tmp, "w") as f:
+            json.dump({"version": version, "committed_at": time.time()}, f)
+        os.replace(ptr_tmp, self._pointer_path(name))
+
+    def read_blob(self, name: str, version: int | None = None) -> bytes | None:
+        v = self.current_version(name) if version is None else version
+        if v is None:
+            return None
+        try:
+            with open(os.path.join(self._table_dir(name),
+                                   f"v{v:06d}.blob"), "rb") as f:
+                return f.read()
+        except OSError:
+            return None
+
     # --- run-level metadata (iteration counter, discovery_seq counter) ---
 
     def read_meta(self) -> dict:

@@ -101,3 +101,60 @@ def test_frontier(engine_run, oracle_run):
     want = {u: (q["status"], q["priority"], q["depth"], q["discovery_seq"])
             for u, q in oracle_run.queue.items()}
     assert eng == want
+
+
+def test_metrics(engine_run, oracle_run):
+    """S13/A5/C11: collection-log counters match the sequential oracle
+    (update_collection_log, database.py:561-582).  The engine logs once
+    per domain per iteration (its batch is domain-deduped); the oracle
+    logs per item — compare against the oracle's FIRST row per
+    (iteration, domain), which saw the same pre-batch state."""
+    from decimal import Decimal
+    tio, _ = engine_run
+    eng = {(r.iteration, r.domain_name):
+           (r.relationships_found, r.urls_discovered, r.processing_time)
+           for r in tio.read("metrics", S.METRICS).collect()}
+    want = {}
+    for m in oracle_run.metrics:
+        k = (m["iteration"], m["domain_name"])
+        if k not in want:
+            pt = Decimal(1 + m["relationships_found"] + m["urls_discovered"]
+                         ) / Decimal(1000)
+            want[k] = (m["relationships_found"], m["urls_discovered"],
+                       pt.quantize(Decimal("0.001")))
+    assert eng == want
+    assert any(v[0] > 0 for v in eng.values())    # counters actually fire
+
+
+def test_kill_resume(spark, fixture_paths, engine_run):
+    """SURVEY.md §5.5: run 3 iterations, simulate a crash (fresh TableIO
+    over the same directory, no seeds), resume 2 more — every table must
+    equal the uninterrupted 5-iteration run (engine_run)."""
+    import tempfile as _tf
+    uninterrupted, _ = engine_run
+    inputs = CrawlInputs(
+        pages=spark.read.parquet(fixture_paths["pages"]),
+        robots=spark.read.parquet(fixture_paths["robots"]),
+        redirects=spark.read.schema(S.REDIRECTS)
+        .parquet(fixture_paths["redirects"]),
+        whois=spark.read.parquet(fixture_paths["whois"]),
+        dns=spark.read.parquet(fixture_paths["dns"]),
+        ssl=spark.read.parquet(fixture_paths["ssl"]),
+        geo=spark.read.parquet(fixture_paths["geo"]))
+    run_dir = _tf.mkdtemp(prefix="mtn_resume_")
+    run_crawl(spark, TableIO(run_dir, spark), inputs, CrawlConfig(),
+              seeds=spark.read.parquet(fixture_paths["frontier_seed"]),
+              max_iterations=3)
+    # crash: all driver state is discarded; resume from disk only
+    run_crawl(spark, TableIO(run_dir, spark), inputs, CrawlConfig(),
+              seeds=None, max_iterations=N_ITER - 3)
+    resumed = TableIO(run_dir, spark)
+    keys = {"frontier": ["url"], "seen": ["url"], "nodes": ["domain_name"],
+            "edges": ["src_domain", "dst_domain", "relationship_type"],
+            "metrics": ["iteration", "domain_name"]}
+    for t, key in keys.items():
+        a = sorted(map(tuple, uninterrupted.read(
+            t, getattr(S, t.upper())).collect()))
+        b = sorted(map(tuple, resumed.read(
+            t, getattr(S, t.upper())).collect()))
+        assert a == b, f"table {t} diverged after resume"

@@ -63,6 +63,30 @@ def test_depth_gate_skips_match_oracle(spark, fixture_paths, fixture_frames):
     assert eng_f == ora_f
 
 
+def test_membership_sketch_modes_identical(spark, fixture_paths):
+    """The frontier-merge membership sketches (SURVEY.md §4.4,
+    BASELINE.json north_rule) are pure anti-join accelerators: crawling
+    with sketch off / Bloom / partitioned-cuckoo must produce bit-exact
+    identical tables.  Also checks the sketch blob is snapshotted."""
+    import tempfile
+    results = {}
+    for mode in ("off", "bloom", "cuckoo"):
+        cfg = CrawlConfig(membership_sketch=mode)
+        tio = TableIO(tempfile.mkdtemp(prefix=f"mtn_sk_{mode}_"), spark)
+        run_crawl(spark, tio, _inputs(spark, fixture_paths), cfg,
+                  seeds=spark.read.parquet(fixture_paths["frontier_seed"]),
+                  max_iterations=2)
+        tables = {}
+        for t, key in (("frontier", "url"), ("seen", "url"),
+                       ("edges", "src_domain")):
+            tables[t] = sorted(map(tuple, tio.read(t).collect()))
+        results[mode] = tables
+        if mode != "off":
+            assert tio.read_blob("frontier_sketch") is not None
+    assert results["off"] == results["bloom"]
+    assert results["off"] == results["cuckoo"]
+
+
 def test_politeness_budget_deterministic(spark, fixture_paths):
     """Politeness mode is an engine extension (no oracle), but its claim
     selection must be deterministic across input partitionings and salt

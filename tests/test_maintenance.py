@@ -65,3 +65,32 @@ def test_missing_field_scan(spark):
     out = [r.domain_name for r in
            missing_field_nodes(nodes, ["title", "description"]).collect()]
     assert out == ["cool.itch.io", "plain.org", "writer.wordpress.com"]
+
+
+def test_backfill_non_null_wins(spark, fixture_paths):
+    """fill_missing_domain_data.py:85-164: nulls are filled from the
+    S4-S7 dimension joins; existing values always survive."""
+    from map_the_net_crawler_spark import schemas as S
+    from map_the_net_crawler_spark.operators.maintenance import (
+        BACKFILL_FIELDS, backfill_missing)
+    whois = spark.read.parquet(fixture_paths["whois"])
+    dns = spark.read.parquet(fixture_paths["dns"])
+    ssl = spark.read.parquet(fixture_paths["ssl"])
+    geo = spark.read.parquet(fixture_paths["geo"])
+    some = [r.domain for r in dns.select("domain").limit(4).collect()]
+    nodes = spark.createDataFrame(
+        [(d, "PreExisting" if i % 2 == 0 else None, None)
+         for i, d in enumerate(some)],
+        "domain_name string, registrar string, ip_address string")
+    full = nodes
+    for f in BACKFILL_FIELDS:
+        if f not in ("registrar", "ip_address"):
+            full = full.withColumn(f, F.lit(None).cast(S.NODES[f].dataType))
+    out = {r.domain_name: r for r in
+           backfill_missing(full, whois, dns, ssl, geo).collect()}
+    dns_rows = {r.domain: r for r in dns.collect()}
+    for i, d in enumerate(some):
+        if i % 2 == 0:
+            assert out[d].registrar == "PreExisting"   # non-null survives
+        assert out[d].ip_address == dns_rows[d].ip_address  # null filled
+        assert out[d].ssl_valid is not None

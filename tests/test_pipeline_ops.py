@@ -99,6 +99,21 @@ class TestSimilarity:
                                 dim=8, k=3, n_planes=4).collect()
         assert any(r.neighbor_id == 1 for r in out)  # same bucket w.h.p.
 
+    def test_ivf_recall_vs_brute_force(self, spark, emb):
+        from map_the_net_crawler_spark.operators.similarity import ivf_topk
+        q = emb.filter(F.col("vec_id") == 0)
+        ivf = ivf_topk(q, emb, dim=8, n_cells=4, nprobe=3, k=3).collect()
+        assert any(r.neighbor_id == 1 for r in ivf)   # planted ~dup probes
+        bf = {r.neighbor_id for r in
+              brute_force_cosine_topk(q, emb, k=3).collect()}
+        # nprobe=3 of 4 cells: recall of exact top-3 should be high
+        assert len({r.neighbor_id for r in ivf} & bf) >= 2
+        # deterministic across partitionings (md5-ordered centroids)
+        again = ivf_topk(q, emb.repartition(7), dim=8, n_cells=4,
+                         nprobe=3, k=3).collect()
+        assert sorted((r.neighbor_id, r.rank) for r in again) == \
+            sorted((r.neighbor_id, r.rank) for r in ivf)
+
 
 class TestTextAnalysis:
     def test_metrics_match_python(self, spark, docs):
