@@ -216,6 +216,27 @@ def q_whois_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     whois_expiry_from_text(t).alias("expiry_date"))
 
 
+def q_asn_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14: ASN fields from the ipinfo 'org' string
+    (domain_collector.py:801-815) — org variants (normal / extra spaces /
+    token-only / empty / whitespace-only) are derived deterministically
+    from the dns fixture so the quirk triple is exercised."""
+    from map_the_net_crawler_spark.functions.classify import (
+        asn_description_from_org, asn_from_org)
+    dns = _fx(spark, "dns")
+    h = F.substring(F.md5(F.col("domain")), 1, 1)
+    base = F.coalesce(F.col("asn_description"), F.lit("Example Net"))
+    a = F.coalesce(F.col("asn"), F.lit("AS0"))
+    org = (F.when(h < "4", F.concat(a, F.lit(" "), base))
+           .when(h < "8", F.concat(F.lit("  "), a, F.lit("   "), base))
+           .when(h < "a", a)
+           .when(h < "d", F.lit(""))
+           .otherwise(F.lit("   ")))
+    return dns.select("domain", org.alias("org"),
+                      asn_from_org(org).alias("asn"),
+                      asn_description_from_org(org).alias("asn_description"))
+
+
 def q_dns_parent_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 parent-NS fallback via self-join (domain_collector.py:756-770)."""
     dns = _fx(spark, "dns")
@@ -418,6 +439,17 @@ def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                        quality_score_col(F.col("text")).alias("quality_score"))
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (MOSS, Schleimer et al. 2003):
+    char-5-gram 60-bit md5 hashes, min per 4-window, sorted distinct."""
+    from map_the_net_crawler_spark.functions.text import \
+        winnow_fingerprints_col
+    docs = _sf(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    fp = winnow_fingerprints_col(F.col("text"), k=5, window=4)
+    return docs.select("doc_id", fp.alias("fingerprints"),
+                       F.size(fp).alias("n_fingerprints"))
+
+
 def q_word_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram (n=1) Jaccard near-dup pairs, SQL-checkable variant."""
     from map_the_net_crawler_spark.operators.dedup import ngram_jaccard_pairs
@@ -607,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_naive_main_domain": q_naive_main_domain,
         "q_whois_dates": q_whois_dates,
         "q_whois_text_extract": q_whois_text_extract,
+        "q_asn_parse": q_asn_parse,
         "q_dns_parent_fallback": q_dns_parent_fallback,
         "q_redirect_classify": q_redirect_classify,
         "q_per_page_caps": q_per_page_caps,
@@ -623,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_text_metrics": q_text_metrics,
         "q_lang_quality": q_lang_quality,
+        "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_word_jaccard": q_word_jaccard,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash": q_simhash,
@@ -683,13 +717,14 @@ def _sql_shingles(n: int) -> str:
 
 def _sql_minhash_lsh(id_filter: str, n_hashes: int, bands: int,
                      shingle_n: int, thr: float, max_bucket: int) -> str:
+    from map_the_net_crawler_spark.operators.dedup import MINHASH_PRIME
     rpb = n_hashes // bands
     sig_cols = ", ".join(
-        f"min(substring(md5('{p}:' || s), 1, 16)) AS h{p}"
+        f"min((h1 + {p} * h2) % {MINHASH_PRIME}) AS h{p}"
         for p in range(n_hashes))
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5("
-        + " || ',' || ".join(f"h{b * rpb + r}" for r in range(rpb))
+        + " || ',' || ".join(f"h{b * rpb + r}::VARCHAR" for r in range(rpb))
         + ") AS bucket FROM sig"
         for b in range(bands))
     jac = ("round(CASE WHEN len(list_distinct(sa.shingles || sb.shingles)) > 0 "
@@ -702,7 +737,12 @@ def _sql_minhash_lsh(id_filter: str, n_hashes: int, bands: int,
           SELECT doc_id, {_SQL_NORM_WORDS} AS words
           FROM documents WHERE {id_filter}),
         shing AS (SELECT doc_id, {_sql_shingles(shingle_n)} AS shingles FROM d),
-        ex AS (SELECT doc_id, unnest(shingles) AS s FROM shing),
+        ex AS (SELECT doc_id,
+                 ('0x' || substring(md5(unnest(shingles)), 1, 10))
+                   ::UBIGINT::BIGINT AS h1,
+                 ('0x' || substring(md5(unnest(shingles)), 11, 10))
+                   ::UBIGINT::BIGINT AS h2
+               FROM shing),
         sig AS (SELECT doc_id, {sig_cols} FROM ex GROUP BY doc_id),
         banded AS ({band_selects}),
         sized AS (SELECT band, bucket, count(*) AS bsz
@@ -1246,6 +1286,31 @@ def oracle_sql() -> dict[str, str]:
               length(txt) AS n_chars
             FROM t
         """,
+        "q_winnow_fingerprints": """
+            WITH t AS (
+              SELECT doc_id,
+                lower(trim(regexp_replace(coalesce(text, ''),
+                                          '\\s+', ' ', 'g'))) AS norm
+              FROM documents WHERE doc_id < 100),
+            g AS (
+              SELECT doc_id,
+                CASE WHEN length(norm) - 4 >= 1 THEN
+                  list_transform(range(1, length(norm) - 4 + 1), i ->
+                    ('0x' || substring(md5(substring(norm, i, 5)), 1, 15))
+                    ::UBIGINT::BIGINT)
+                ELSE [] END AS hashes
+              FROM t),
+            w AS (
+              SELECT doc_id,
+                CASE WHEN len(hashes) - 3 >= 1 THEN
+                  list_sort(list_distinct(
+                    list_transform(range(1, len(hashes) - 3 + 1), j ->
+                      list_min(hashes[j:j+3]))))
+                ELSE [] END AS fingerprints
+              FROM g)
+            SELECT doc_id, fingerprints, len(fingerprints) AS n_fingerprints
+            FROM w
+        """,
         "q_word_jaccard": """
             WITH docs AS (
               SELECT doc_id,
@@ -1299,6 +1364,30 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_ivf": _sql_ann_ivf(n_cells=8, nprobe=3, k=5),
         "q_psl_registrable": _sql_psl(netloc_x),
         "q_whois_text_extract": _sql_whois_text(),
+        "q_asn_parse": f"""
+            WITH d AS (
+              SELECT domain,
+                CASE WHEN substring(md5(domain),1,1) < '4'
+                       THEN coalesce(asn,'AS0') || ' ' ||
+                            coalesce(asn_description,'Example Net')
+                     WHEN substring(md5(domain),1,1) < '8'
+                       THEN '  ' || coalesce(asn,'AS0') || '   ' ||
+                            coalesce(asn_description,'Example Net')
+                     WHEN substring(md5(domain),1,1) < 'a'
+                       THEN coalesce(asn,'AS0')
+                     WHEN substring(md5(domain),1,1) < 'd' THEN ''
+                     ELSE '   ' END AS org
+              FROM read_parquet('{_FIX}/dns.parquet'))
+            SELECT domain, org,
+              CASE WHEN org = '' THEN NULL
+                   WHEN trim(org) = '' THEN NULL
+                   ELSE list_filter(regexp_split_to_array(org, '\\s+'),
+                                    x -> x <> '')[1] END AS asn,
+              CASE WHEN org = '' THEN ''
+                   WHEN trim(org) = '' THEN NULL
+                   ELSE org END AS asn_description
+            FROM d
+        """,
         "q_lang_quality": _sql_lang_quality(),
         "q_ann_cosine": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -198,3 +198,25 @@ def whois_created_from_text(text: Column) -> Column:
 
 def whois_expiry_from_text(text: Column) -> Column:
     return normalize_date(_whois_first_match(text, WHOIS_EXPIRY_PATTERNS))
+
+
+# --- C14: ASN parse from the ipinfo 'org' string (domain_collector.py
+# :801-815).  Reference: asn = org.split()[0] if org else None;
+# description = org.  Quirk triple reproduced exactly:
+#   org == ''          -> asn NULL, description ''   (the `if org` guard)
+#   org only-whitespace-> BOTH NULL (''.split()[0] raises IndexError,
+#                         swallowed by the except -> no fields at all)
+#   otherwise          -> asn = first whitespace token, description = org
+
+def asn_from_org(org: Column) -> Column:
+    toks = F.filter(F.split(org, r"\s+"), lambda t: t != "")
+    return (F.when(org.isNull() | (org == ""), F.lit(None).cast("string"))
+            .when(F.trim(org) == "", F.lit(None).cast("string"))
+            .otherwise(F.get(toks, 0)))
+
+
+def asn_description_from_org(org: Column) -> Column:
+    return (F.when(org.isNull(), F.lit(None).cast("string"))
+            .when(org == "", F.lit(""))
+            .when(F.trim(org) == "", F.lit(None).cast("string"))
+            .otherwise(org))

@@ -121,3 +121,35 @@ def analyze_documents(docs: DataFrame, lang: str = "en") -> DataFrame:
         language_id_col(F.col("text")).alias("lang_id"),
         fingerprint_col(F.col("text")).alias("fingerprint"),
     )
+
+
+def winnow_fingerprints_col(text: Column, k: int = 5,
+                            window: int = 4) -> Column:
+    """MOSS winnowing (Schleimer et al., SIGMOD 2003 — public paper):
+    hash every char k-gram of the normalized text, take the minimum per
+    sliding window of ``window`` consecutive gram hashes, distinct + sort.
+    Guarantees any shared substring of length >= k + window - 1 yields a
+    shared fingerprint — the standard local document-fingerprinting
+    scheme for near-dup/plagiarism detection.
+
+    Hashes are 60-bit md5 prefixes (conv(substring(md5(g),1,15),16,10))
+    so the DuckDB oracle reproduces them bit-for-bit; pure Column
+    expressions, no Python in the path.  Docs with fewer than
+    k + window - 1 chars yield an empty fingerprint list (no full
+    window exists)."""
+    norm = F.lower(F.regexp_replace(
+        F.regexp_replace(F.coalesce(text, F.lit("")), r"\s+", " "),
+        r"^\s+|\s+$", ""))
+    n_grams = F.length(norm) - (k - 1)
+    idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)) \
+           .otherwise(F.array().cast("array<int>"))
+    hashes = F.transform(
+        idx, lambda i: F.conv(
+            F.substring(F.md5(norm.substr(i, F.lit(k))), 1, 15), 16, 10)
+        .cast("long"))
+    n_windows = F.size(hashes) - (window - 1)
+    widx = F.when(n_windows >= 1, F.sequence(F.lit(1), n_windows)) \
+            .otherwise(F.array().cast("array<int>"))
+    minima = F.transform(widx,
+                         lambda j: F.array_min(F.slice(hashes, j, window)))
+    return F.array_sort(F.array_distinct(minima))

@@ -56,20 +56,32 @@ def shingles_col(text, n: int = 3):
         idx, lambda i: F.concat_ws(" ", F.slice(words, i, n))))
 
 
+# Kirsch–Mitzenmacher double hashing for minhash permutations: ONE md5
+# per shingle, split into two 40-bit halves (hex chars 1-10 / 11-20),
+# permutation p = (h1 + p·h2) mod PRIME.  40-bit halves keep
+# h1 + 31·h2 < 2^46 — far from BIGINT overflow, so Spark long and
+# DuckDB UBIGINT arithmetic agree bit-for-bit.  md5 is the one hash both
+# engines share, which is what makes the DuckDB oracle reproducible.
+MINHASH_PRIME = (1 << 40) - 87  # largest prime below 2^40
+
+
 def minhash_signature(docs: DataFrame, text_col: str = "text",
                       n_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
-    """(doc_id, sig array<string>): sig[p] = min over shingles of
-    substring(md5(p || ':' || shingle), 1, 16) — a 64-bit hash rendered
-    as fixed-width hex, so lexicographic MIN == numeric MIN, and md5 is
-    the one hash Spark and DuckDB share bit-for-bit (the oracle computes
-    the identical signature).  All JVM-side: explode → groupBy(doc) with
-    min aggs — one shuffle keyed by doc_id."""
+    """(doc_id, sig array<bigint>): sig[p] = min over shingles of
+    (h1 + p·h2) mod MINHASH_PRIME with (h1, h2) the two 40-bit md5
+    halves of the shingle.  All JVM-side: ONE md5 per shingle → explode
+    → groupBy(doc) with n_hashes min aggs — one shuffle keyed by doc_id
+    (round-1 used one md5 per (shingle, permutation): 32× the hashing)."""
+    h1 = F.conv(F.substring(F.md5(F.col("shingle")), 1, 10), 16, 10) \
+          .cast("long")
+    h2 = F.conv(F.substring(F.md5(F.col("shingle")), 11, 10), 16, 10) \
+          .cast("long")
     sh = docs.select("doc_id",
                      F.explode(shingles_col(F.col(text_col), shingle_n))
-                     .alias("shingle"))
-    aggs = [F.min(F.substring(
-                F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle"))), 1, 16))
-            .alias(f"h{p}")
+                     .alias("shingle")) \
+             .select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    aggs = [F.min((F.col("h1") + F.lit(p) * F.col("h2"))
+                  % F.lit(MINHASH_PRIME)).alias(f"h{p}")
             for p in range(n_hashes)]
     sig = sh.groupBy("doc_id").agg(*aggs)
     return sig.select("doc_id",
@@ -89,7 +101,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         "doc_id",
         F.posexplode(F.array(*[
             F.md5(F.concat_ws(
-                ",", *[F.col("sig")[b * rows_per_band + r]
+                ",", *[F.col("sig")[b * rows_per_band + r].cast("string")
                        for r in range(rows_per_band)]))
             for b in range(bands)])).alias("band", "bucket"))
     # bound hot buckets (boilerplate) before the self-join

@@ -131,6 +131,19 @@ class TestTextAnalysis:
         assert out[1]["fingerprint"] != out[4]["fingerprint"]
 
 
+class TestWinnowing:
+    def test_shared_substring_shares_fingerprints(self, spark, docs):
+        from map_the_net_crawler_spark.functions.text import \
+            winnow_fingerprints_col
+        out = {r.doc_id: set(r.fp) for r in docs.select(
+            "doc_id",
+            winnow_fingerprints_col(F.col("text")).alias("fp")).collect()}
+        assert out[1] == out[2] == out[5]   # identical after normalization
+        assert out[1] & out[3]              # near-dup shares fingerprints
+        assert not out[1] & out[4]          # unrelated text: none shared
+        assert out[6] == set()              # 5-char doc: no full window
+
+
 class TestMultimodal:
     def test_feature_extraction_plumbing(self, spark):
         rows = [(1, "image", b"\x89PNG fake"), (2, "audio", b"RIFF fake"),
