@@ -116,11 +116,15 @@ def q_queue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1/C2: clean_url_for_queue + www-strip as Column regexes
-    (domain_collector.py:205-224, 992-995)."""
+    (domain_collector.py:205-224, 992-995).  The ';params' strip after
+    the last '/' mirrors urlparse's _splitparams (the reference's path
+    EXCLUDES last-segment params — found by the hypothesis
+    cross-implementation property test)."""
     u = _fx(spark, "raw_urls")
     scheme = F.regexp_extract("url", r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
     netloc = F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
     path = F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r";[^/]*$", "")
     clean = F.concat(scheme, F.lit("://"), netloc, path)
     clean = F.when((F.length(clean) > 1) & clean.rlike("/$"),
                    F.regexp_replace(clean, "/+$", "")).otherwise(clean)
@@ -134,7 +138,10 @@ def q_link_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     in DuckDB; returns surviving links with their parse fields."""
     lc = _fx(spark, "link_candidates")
     netloc = F.regexp_extract("href", r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
-    path = F.regexp_extract("href", r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(
+        F.regexp_extract("href",
+                         r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1),
+        r";[^/]*$", "")
     query = F.regexp_extract("href", r"^[^?#]*\?([^#]*)", 1)
     from map_the_net_crawler_spark.functions.filters import (_EXT_RE,
                                                              _PATTERN_RE,
@@ -514,6 +521,26 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("cosine") >= 0.3))
 
 
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, LSH-blocked (the 100 TB path for dedup
+    family #5): candidate pairs share a hyperplane bucket, exact cosine
+    verifies.  One shuffle keyed by bucket — never all-pairs."""
+    from map_the_net_crawler_spark.operators.similarity import (
+        cosine_pairs_pd, lsh_signature_udf)
+    emb = _sf(spark, sf_dir, "embeddings")
+    sig = lsh_signature_udf(64, 4)
+    e = emb.select("vec_id", "embedding", sig(F.col("embedding")).alias("b"))
+    a = e.select(F.col("vec_id").alias("doc_a"),
+                 F.col("embedding").alias("va"), "b")
+    bb = e.select(F.col("vec_id").alias("doc_b"),
+                  F.col("embedding").alias("vb"), "b")
+    pairs = a.join(bb, "b").filter(F.col("doc_a") < F.col("doc_b"))
+    cos = F.round(cosine_pairs_pd(F.col("va"), F.col("vb")), 6)
+    # one signature per vector => each pair meets in at most one bucket
+    return (pairs.select("doc_a", "doc_b", cos.alias("cosine"))
+            .filter(F.col("cosine") >= 0.3))
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user (streaming/events.sessionize batch form,
     30-minute gap) — gaps-and-islands oracle in DuckDB."""
@@ -662,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": q_simhash,
         "q_ann_cosine": q_ann_cosine,
         "q_embedding_neardup": q_embedding_neardup,
+        "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
         "q_sessionize": q_sessionize,
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
@@ -817,6 +845,23 @@ def _sql_ann_lsh(dim: int, n_planes: int, k: int) -> str:
         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sc)
         SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {k}
+    """
+
+
+def _sql_embedding_neardup_lsh(dim: int, n_planes: int, thr: float) -> str:
+    from map_the_net_crawler_spark.operators.similarity import hyperplanes
+    H = hyperplanes(dim, n_planes)
+    sig = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_sql_plane_literal(H[p])}) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes))
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (SELECT vec_id, v, {sig} AS bk FROM e)
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+          round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM s a JOIN s b ON a.bk = b.bk AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {thr}
     """
 
 
@@ -984,7 +1029,10 @@ def _sql_lang_quality() -> str:
 def oracle_sql() -> dict[str, str]:
     ext_re, pattern_re, tracking_re = _sql_rules()
     netloc_x = "regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)"
-    path_x = "regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+    # ';params' strip after the last '/' == urlparse._splitparams
+    path_x = ("regexp_replace(regexp_extract(href, "
+              "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), "
+              "';[^/]*$', '')")
     query_x = "regexp_extract(href, '^[^?#]*\\?([^#]*)', 1)"
     link_filter_sql = f"""
             WITH l AS (
@@ -1155,7 +1203,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT url,
                 regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme,
                 regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS netloc,
-                regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+                regexp_replace(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                  ';[^/]*$', '') AS path
               FROM read_parquet('{_FIX}/raw_urls.parquet'))
             SELECT url,
               CASE WHEN length(scheme || '://' || netloc || path) > 1
@@ -1361,6 +1411,8 @@ def oracle_sql() -> dict[str, str]:
         "q_simhash": _sql_simhash("doc_id < 200", shingle_n=2, band_bits=15,
                                   max_hamming=16),
         "q_ann_lsh": _sql_ann_lsh(dim=64, n_planes=4, k=5),
+        "q_embedding_neardup_lsh": _sql_embedding_neardup_lsh(
+            dim=64, n_planes=4, thr=0.3),
         "q_ann_ivf": _sql_ann_ivf(n_cells=8, nprobe=3, k=5),
         "q_psl_registrable": _sql_psl(netloc_x),
         "q_whois_text_extract": _sql_whois_text(),

@@ -347,3 +347,64 @@ def cuckoo_probe_udf(spark, pc: PartitionedCuckoo):
         return pd.Series(f.contains_batch(s.to_numpy()))
 
     return might_contain
+
+
+# ----------------------------------------------------------------------
+# Route-sharded sketch table + cogroup probe — the 10^10-key layout.
+#
+# A single broadcast Bloom for a 10^10-row frontier at 1% fpp is ~12 GB
+# — too big to ship to every executor.  At that scale the sketch lives
+# as a route-keyed TABLE of shard blobs (~12 MB per 1000 routes), and
+# the probe is a COGROUP: candidates repartition by route and each task
+# receives one route's candidates plus that route's blob ONLY, so
+# per-executor memory is one shard, not the whole sketch.  The
+# broadcast path above stays the right call for <=10^8 keys.
+# ----------------------------------------------------------------------
+
+def build_sharded_blooms(df: DataFrame, col: str, n_parts: int,
+                         expected_total: int, fpp: float = 0.01) -> DataFrame:
+    """(route, blob) table: one Bloom shard per key route."""
+    expected_per_part = max(1024, expected_total // max(n_parts, 1))
+
+    @pandas_udf("long")
+    def route_udf(s: pd.Series) -> pd.Series:
+        return pd.Series(route_of(s.to_numpy(), n_parts))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = BloomSketch.empty(max(expected_per_part, len(pdf)), fpp)
+        sk.add_batch(pdf[col].to_numpy())
+        return pd.DataFrame({"route": [int(pdf["route"].iloc[0])],
+                             "blob": [sk.to_bytes()]})
+
+    return (df.select(col).withColumn("route", route_udf(F.col(col)))
+            .groupBy("route").applyInPandas(build, "route long, blob binary"))
+
+
+def cogroup_probe(candidates: DataFrame, shard_blobs: DataFrame,
+                  key_col: str, n_parts: int) -> DataFrame:
+    """Adds ``_maybe`` (might_contain) to ``candidates`` by cogrouping
+    them with the route-sharded sketch table: one task = one route's
+    candidates + that route's blob.  Missing shard => definitely new."""
+    from pyspark.sql import types as T
+
+    @pandas_udf("long")
+    def route_udf(s: pd.Series) -> pd.Series:
+        return pd.Series(route_of(s.to_numpy(), n_parts))
+
+    routed = candidates.withColumn("_route", route_udf(F.col(key_col)))
+    out_schema = T.StructType(routed.schema.fields
+                              + [T.StructField("_maybe", T.BooleanType())])
+
+    def probe(cpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+        if cpdf.empty:
+            return cpdf.assign(_maybe=pd.Series([], dtype=bool))
+        if bpdf.empty:
+            return cpdf.assign(_maybe=False)
+        sk = BloomSketch.from_bytes(bytes(bpdf["blob"].iloc[0]))
+        return cpdf.assign(_maybe=sk.contains_batch(
+            cpdf[key_col].to_numpy()))
+
+    return (routed.groupby("_route")
+            .cogroup(shard_blobs.groupby("route"))
+            .applyInPandas(probe, out_schema)
+            .drop("_route"))

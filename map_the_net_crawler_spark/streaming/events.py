@@ -72,3 +72,33 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             .select(F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"),
                     "user_id", "n_events"))
+
+
+def stateful_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, sum) carried across micro-batches in GroupState —
+    the crawl-ingest shape for per-domain counters (S13/A5) as a
+    continuous stream.  Emits the updated running totals for every user
+    touched in each micro-batch; after the source drains, the LAST row
+    per user equals the batch groupBy aggregate regardless of how rows
+    were split across micro-batches (pinned by
+    tests/test_pipeline_ops.py::TestStreaming).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_totals(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += int(len(pdf))
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "sum_value": [s]})
+
+    return (events.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n_events long, sum_value double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout))

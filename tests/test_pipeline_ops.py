@@ -190,3 +190,41 @@ class TestStreaming:
         closed = [r for r in b if r[0] <= cutoff]
         assert set(closed) <= set(a) <= set(b)
         assert len(a) >= len(closed)
+
+    def test_stateful_running_totals_equal_batch(self, spark, tmp_path):
+        """applyInPandasWithState carries per-user state across
+        micro-batches: after the source drains, the last emitted row per
+        user equals the plain batch aggregate no matter how the rows
+        were split across files/batches."""
+        from map_the_net_crawler_spark.streaming.events import (
+            EVENTS, stateful_running_totals)
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+            .filter(F.col("user_id") < 30).select(*[f.name for f in EVENTS])
+        # several input files => several micro-batches with 1 file each
+        events.repartition(5).write.mode("overwrite") \
+            .parquet(str(tmp_path / "sin"))
+        stream = (spark.readStream.schema(EVENTS)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(tmp_path / "sin")))
+        q = (stateful_running_totals(stream).writeStream
+             .format("memory").queryName("totals")
+             .outputMode("update")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        emitted = spark.sql("select * from totals").collect()
+        # last emission per user == max running count
+        final = {}
+        for r in emitted:
+            if r.user_id not in final or r.n_events > final[r.user_id][0]:
+                final[r.user_id] = (r.n_events, r.sum_value)
+        want = {r.user_id: (r.n, r.s) for r in
+                events.groupBy("user_id")
+                .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+                .collect()}
+        assert set(final) == set(want)
+        for u, (n, s) in want.items():
+            assert final[u][0] == n
+            assert abs(final[u][1] - s) < 1e-6
+        # state genuinely crossed micro-batches: some user emitted twice
+        from collections import Counter
+        assert Counter(r.user_id for r in emitted).most_common(1)[0][1] > 1

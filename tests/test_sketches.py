@@ -104,3 +104,29 @@ class TestCuckoo:
         # route-local delete
         assert pc.delete(MEMBERS[0])
         assert not pc.contains_batch(MEMBERS[:1])[0]
+
+
+class TestShardedBloom:
+    def test_cogroup_probe_matches_exact(self, spark):
+        """The 10^10-scale layout: route-sharded Bloom table + cogroup
+        probe — no false negatives, bounded FPs, candidates keep their
+        columns; missing shards mean definitely-new."""
+        from map_the_net_crawler_spark.sketches import (build_sharded_blooms,
+                                                        cogroup_probe)
+        frontier = spark.createDataFrame(
+            pd.DataFrame({"url": MEMBERS})).repartition(6)
+        shards = build_sharded_blooms(frontier, "url", n_parts=8,
+                                      expected_total=len(MEMBERS))
+        assert shards.count() == 8
+        cand = spark.createDataFrame(pd.DataFrame({
+            "clean_url": np.concatenate([MEMBERS[:500], OUTSIDERS[:1500]]),
+            "tag": np.arange(2000)}))
+        shards_k = shards
+        out = cogroup_probe(
+            cand.withColumnRenamed("clean_url", "url"), shards_k,
+            "url", n_parts=8).toPandas()
+        member = out[out.url.isin(set(MEMBERS[:500]))]
+        outsider = out[~out.url.isin(set(MEMBERS[:500]))]
+        assert member["_maybe"].all()              # no false negatives
+        assert outsider["_maybe"].mean() < 0.05    # fpp bound
+        assert set(out.columns) == {"url", "tag", "_maybe"}
