@@ -603,6 +603,27 @@ def q_metrics_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(10,3)").alias("processing_time"))
 
 
+def q_archive_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 S14/C10: archive_collection_logs age split
+    (archive_collection_logs.py:90-99) via the real operator — metrics
+    rows derived deterministically from events, cutoff = current - age."""
+    from map_the_net_crawler_spark.operators.maintenance import \
+        archive_metrics
+    e = _sf(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    metrics = e.select(
+        (F.col("event_id") % 7 + 1).cast("int").alias("iteration"),
+        F.concat(F.lit("d"), (F.col("user_id") % 50).cast("string"),
+                 F.lit(".com")).alias("domain_name"),
+        F.col("event_id"))
+    kept, old = archive_metrics(metrics, max_iteration_age=3,
+                                current_iteration=7)
+    return (kept.withColumn("bucket", F.lit("kept"))
+            .unionByName(old.withColumn("bucket", F.lit("archived")))
+            .groupBy("bucket", "iteration")
+            .agg(F.count("*").alias("cnt"),
+                 F.min("event_id").alias("min_event")))
+
+
 def q_backfill_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 backfill (fill_missing_domain_data.py:85-164): nodes with
     null enrichment fields re-run the S4-S7 joins; non-null-wins merge.
@@ -654,6 +675,7 @@ def q_top_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_metrics_log": q_metrics_log,
+        "q_archive_split": q_archive_split,
         "q_backfill_merge": q_backfill_merge,
         "q_ugc_purge": q_ugc_purge,
         "q_top_agents": q_top_agents,
@@ -1143,6 +1165,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT url || '?fresh', priority + 2, depth + 1,
                    'dup-status', 'dup-err', discovery_seq + 10000
             FROM base
+        """,
+        "q_archive_split": """
+            WITH m AS (
+              SELECT (event_id % 7 + 1)::INT AS iteration, event_id
+              FROM events WHERE event_id < 2000)
+            SELECT CASE WHEN iteration <= 7 - 3 THEN 'archived'
+                        ELSE 'kept' END AS bucket,
+                   iteration, count(*) AS cnt, min(event_id) AS min_event
+            FROM m GROUP BY 1, 2
         """,
         "q_backfill_merge": f"""
             WITH d AS (SELECT domain FROM read_parquet('{_FIX}/dns.parquet')),
