@@ -33,11 +33,20 @@ class CrawlConfig:
     politeness_window_s: float = 0.0  # 0 => politeness budget disabled (faithful claim mode)
     salt_buckets: int = 16            # skew salt for per-domain windows (SURVEY.md §4.2)
     # membership sketch pre-filtering the frontier anti-join in
-    # merge_discoveries: 'bloom' | 'cuckoo' | 'off'.  Results are
-    # bit-identical in all three modes (no-false-negative contract);
-    # the sketch only shrinks the anti-join shuffle (SURVEY.md §4.4).
+    # merge_discoveries: 'bloom' | 'bloom_sharded' | 'cuckoo' | 'off'.
+    # Results are bit-identical in all modes (no-false-negative
+    # contract); the sketch only shrinks the anti-join shuffle
+    # (SURVEY.md §4.4).  'bloom' auto-promotes itself to the sharded
+    # layout when the bitmap would exceed broadcast_sketch_max_bytes:
+    # at the north rule's 10^10-URL frontier a 1%-fpp bitmap is ~12 GB
+    # — unbuildable on and unbroadcastable from any driver — so above
+    # the threshold the sketch lives as a route-sharded blob TABLE
+    # probed via cogroup (sketches.build_sharded_blooms/cogroup_probe);
+    # 'bloom_sharded' forces that layout at any size (used by tests).
     membership_sketch: str = "bloom"
     bloom_fpp: float = 0.01
+    broadcast_sketch_max_bytes: int = 256 * 2**20
+    bloom_shard_parts: int = 32
     cuckoo_route_parts: int = 32
     shuffle_partitions: int = 32
 

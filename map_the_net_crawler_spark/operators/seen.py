@@ -46,7 +46,14 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame,
 def anti_join_with_sketch(candidates: DataFrame, table_keys: DataFrame,
                           key_col: str, probe=None) -> DataFrame:
     """``candidates ANTI JOIN table_keys`` with an optional membership
-    sketch pre-filter (a might_contain pandas UDF from sketches.py).
+    sketch pre-filter.
+
+    ``probe`` is either a might_contain pandas UDF (broadcast Bloom /
+    partitioned cuckoo — fine up to ~10^8 keys) or a DataFrame-level
+    probe exposing ``.flag(df, key_col)`` (sketches.ShardedBloomProbe —
+    the 10^10-key layout: the sketch lives as a route-sharded blob table
+    and the probe is a cogroup, so no executor ever holds more than one
+    shard).
 
     The sketch has NO false negatives, so rows it rejects are provably
     absent from the table and bypass the anti-join shuffle entirely;
@@ -55,7 +62,10 @@ def anti_join_with_sketch(candidates: DataFrame, table_keys: DataFrame,
     (pinned by tests/test_crawl_variants.py)."""
     if probe is None:
         return candidates.join(table_keys, key_col, "left_anti")
-    flagged = candidates.withColumn("_maybe", probe(F.col(key_col)))
+    if hasattr(probe, "flag"):
+        flagged = probe.flag(candidates, key_col)
+    else:
+        flagged = candidates.withColumn("_maybe", probe(F.col(key_col)))
     sure_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
     maybe = flagged.filter(F.col("_maybe")).drop("_maybe")
     return sure_new.unionByName(maybe.join(table_keys, key_col, "left_anti"))

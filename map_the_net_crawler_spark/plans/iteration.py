@@ -125,19 +125,21 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     else:
         robots_flags = domains.withColumn("robots_allowed", F.lit(True))
 
-    gated = apply_claim_gates(claimed, scounts, robots_flags, cfg)
+    # claimed/skipped counts ride the gated WRITE as observed metrics —
+    # zero extra jobs (was a separate groupBy action per iteration)
+    from pyspark.sql import Observation
+    obs_g = Observation()
+    gated = apply_claim_gates(claimed, scounts, robots_flags, cfg) \
+        .observe(obs_g,
+                 F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.col("gate_status") == "skipped", 1)
+                       .otherwise(0)).alias("n_skip"))
     tio.write("gated", gated, iteration)
     tmr.lap("gated_write")
     gated = tio.read("gated", version=iteration)
-    # one aggregation action yields claimed/skipped/processed counts
-    # (was 3 separate .count() jobs — each re-ran a full job)
-    gstats = {r["gate_status"]: (r["n"], r["nd"]) for r in
-              gated.groupBy("gate_status")
-              .agg(F.count("*").alias("n"),
-                   F.countDistinct("domain_name").alias("nd")).collect()}
-    n_claimed = sum(n for n, _ in gstats.values())
-    n_skip = gstats.get("skipped", (0, 0))[0]
-    n_proc = gstats.get("process", (0, 0))[1]
+    gm = obs_g.get
+    n_claimed = int(gm["n"] or 0)
+    n_skip = int(gm["n_skip"] or 0)
     tmr.lap("claim_count")
     if n_claimed == 0:
         return IterationResult(iteration, 0, 0, 0, 0, next_seq, tmr.laps)
@@ -168,11 +170,24 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     # snapshot read as few splits would serialize the extract UDF; spread
     # the batch across all cores before the Arrow stage
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # processed-domain and link counts ride the extract WRITE: each batch
+    # domain yields exactly one metadata row (link_pos == -1), so n_meta
+    # == countDistinct(domain) with gate_status='process'
+    obs_e = Observation()
     extracted = extract_pages(
-        fetched.select("url", "domain_name", "html").repartition(n_part, "url"))
+        fetched.select("url", "domain_name", "html")
+        .repartition(n_part, "url")) \
+        .observe(obs_e,
+                 F.sum(F.when(F.col("link_pos") == -1, 1).otherwise(0))
+                 .alias("n_meta"),
+                 F.sum(F.when(F.col("link_pos") >= 0, 1).otherwise(0))
+                 .alias("n_links"))
     tio.write("extract", extracted, iteration)
     tmr.lap("extract_write")
     extracted = tio.read("extract", version=iteration)
+    em = obs_e.get
+    n_proc = int(em["n_meta"] or 0)
+    n_links = int(em["n_links"] or 0)
 
     binfo = batch.select("domain_name", "batch_rank", "depth", "robots_ok",
                          F.col("seen_cnt").alias("_start_cnt"))
@@ -249,11 +264,17 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
                  .drop("robots_ok", "_start_cnt"))
     # materialize the filtered link rows: build_relationships references
     # this subtree ~4× (main flow + both sides of the PSL host union) and
-    # Spark re-executes each appearance — make them cheap parquet scans
+    # Spark re-executes each appearance — make them cheap parquet scans.
+    # For small batches the 4× re-execution of pure Column filters over
+    # the (already materialized) extract parquet is cheaper than a write
+    # job, so skip the snapshot below the threshold (fixed-cost squeeze)
     valid = filter_links(link_rows)
-    tio.write("valid_links", valid, iteration)
-    tmr.lap("valid_links_write")
-    valid = tio.read("valid_links", version=iteration)
+    if n_links > 20_000:
+        tio.write("valid_links", valid, iteration)
+        tmr.lap("valid_links_write")
+        valid = tio.read("valid_links", version=iteration)
+    else:
+        tmr.lap("valid_links_skip")
     rels = build_relationships(valid, inputs.redirects, scounts,
                                processed_domains, cfg)
     # nodes_batch and rels only share the extract/gated parquet — run
@@ -337,12 +358,34 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     # sketch is sized exactly with zero extra actions; the blob is
     # snapshotted beside the tables for lineage/resume.
     frontier_probe = None
-    if cfg.membership_sketch == "bloom":
-        from ..sketches import bloom_probe_udf, build_bloom
-        sketch = build_bloom(frontier, "url", max(1024, next_seq),
-                             cfg.bloom_fpp)
-        frontier_probe = bloom_probe_udf(spark, sketch)
-        tio.write_blob("frontier_sketch", sketch.to_bytes(), iteration)
+    if cfg.membership_sketch in ("bloom", "bloom_sharded"):
+        from ..sketches import (BloomSketch, ShardedBloomProbe,
+                                bloom_probe_udf, build_bloom,
+                                build_sharded_blooms)
+        expected = max(1024, next_seq)
+        m, _k = BloomSketch.params_for(expected, cfg.bloom_fpp)
+        bitmap_bytes = (m + 7) // 8
+        # size-based physical-strategy pick: a driver-merged broadcast
+        # bitmap up to broadcast_sketch_max_bytes; above that (the north
+        # rule's 10^10-URL frontier => ~12 GB at 1% fpp) the sketch
+        # lives as a route-sharded blob TABLE probed via cogroup — no
+        # driver merge, no broadcast, one shard per task.
+        if (cfg.membership_sketch == "bloom_sharded"
+                or bitmap_bytes > cfg.broadcast_sketch_max_bytes):
+            shards = build_sharded_blooms(frontier, "url",
+                                          cfg.bloom_shard_parts,
+                                          expected, cfg.bloom_fpp)
+            # snapshot the shard table (lineage/resume), then probe the
+            # cheap parquet scan rather than re-running the build per
+            # downstream action
+            tio.write("frontier_sketch_shards", shards, iteration)
+            frontier_probe = ShardedBloomProbe(
+                tio.read("frontier_sketch_shards", version=iteration),
+                cfg.bloom_shard_parts)
+        else:
+            sketch = build_bloom(frontier, "url", expected, cfg.bloom_fpp)
+            frontier_probe = bloom_probe_udf(spark, sketch)
+            tio.write_blob("frontier_sketch", sketch.to_bytes(), iteration)
     elif cfg.membership_sketch == "cuckoo":
         from ..sketches import build_partitioned_cuckoo, cuckoo_probe_udf
         pc = build_partitioned_cuckoo(
@@ -351,13 +394,17 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
         frontier_probe = cuckoo_probe_udf(spark, pc)
         tio.write_blob("frontier_sketch", pc.to_bytes(), iteration)
     tmr.lap("sketch_build")
+    # the new-row count rides the new_pending WRITE as an observed
+    # metric (was a separate count job over the re-read parquet)
+    obs_p = Observation()
     new_pending = merge_discoveries(frontier, discoveries, scounts,
                                     processed_domains, cfg, next_seq,
-                                    iteration, frontier_probe)
+                                    iteration, frontier_probe) \
+        .observe(obs_p, F.count(F.lit(1)).alias("n"))
     tio.write("new_pending", new_pending, iteration)
     tmr.lap("new_pending_write")
     new_pending = tio.read("new_pending", version=iteration)
-    n_new = new_pending.count()
+    n_new = int(obs_p.get["n"] or 0)
     tmr.lap("new_pending_count")
 
     claimed_updates = gated.select(

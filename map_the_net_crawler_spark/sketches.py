@@ -380,6 +380,24 @@ def build_sharded_blooms(df: DataFrame, col: str, n_parts: int,
             .groupBy("route").applyInPandas(build, "route long, blob binary"))
 
 
+class ShardedBloomProbe:
+    """DataFrame-level membership probe over a route-sharded Bloom table
+    — the at-scale replacement for the broadcast ``bloom_probe_udf``
+    (which ``anti_join_with_sketch`` detects by the absence of this
+    class's ``flag`` method).  Holds only the (route, blob) DataFrame
+    handle; no sketch bytes ever touch the driver."""
+
+    def __init__(self, shard_blobs: DataFrame, n_parts: int):
+        self.shard_blobs = shard_blobs
+        self.n_parts = n_parts
+
+    def flag(self, candidates: DataFrame, key_col: str) -> DataFrame:
+        """Returns ``candidates`` + boolean ``_maybe`` via cogroup — one
+        task sees one route's candidates plus that route's shard only."""
+        return cogroup_probe(candidates, self.shard_blobs, key_col,
+                             self.n_parts)
+
+
 def cogroup_probe(candidates: DataFrame, shard_blobs: DataFrame,
                   key_col: str, n_parts: int) -> DataFrame:
     """Adds ``_maybe`` (might_contain) to ``candidates`` by cogrouping
