@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -330,16 +331,18 @@ def q_crawl_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U1-U6 extract UDF; byte-identity vs pages.text is asserted — the
-    count of non-identical rows must be zero (rows-only driver check;
-    pytest asserts equality per url)."""
+    """U1-U6 extract UDF over every fixture page — hash-compared against
+    the committed golden parquet produced by the sequential htmlx
+    extraction (scripts/make_goldens.py), pinning title/description/
+    favicon/keywords AND the byte-identical text invariant
+    (input_hint per-row invariant; domain_collector.py:563-585)."""
     from map_the_net_crawler_spark.functions.extract import extract_pages
     pages = _fx(spark, "pages")
     ex = extract_pages(pages.select("url", F.lit("d").alias("domain_name"),
                                     "html"))
-    meta = ex.filter(F.col("link_pos") == -1).select("url", F.col("text").alias("extracted"))
-    return (pages.select("url", "text").join(meta, "url")
-            .select("url", (F.col("text") == F.col("extracted")).alias("text_identical")))
+    return (ex.filter(F.col("link_pos") == -1)
+            .select("url", "title", "description", "favicon_url",
+                    "meta_keywords", "text"))
 
 
 def q_robots_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,13 +451,16 @@ def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (MOSS, Schleimer et al. 2003):
-    char-5-gram 60-bit md5 hashes, min per 4-window, sorted distinct."""
+    char-5-gram 60-bit md5 hashes, min per 4-window, sorted distinct.
+    Emitted posexploded — one row per (doc_id, pos, fingerprint) — so the
+    result is a flat sortable relation (the check harness cannot
+    canonicalize array columns)."""
     from map_the_net_crawler_spark.functions.text import \
         winnow_fingerprints_col
     docs = _sf(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     fp = winnow_fingerprints_col(F.col("text"), k=5, window=4)
-    return docs.select("doc_id", fp.alias("fingerprints"),
-                       F.size(fp).alias("n_fingerprints"))
+    return (docs.select("doc_id", F.posexplode(fp).alias("pos", "fingerprint"))
+                .withColumn("pos", F.col("pos").cast("long")))
 
 
 def q_word_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,19 +512,13 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact variant; the LSH
-    scale path is q_ann_lsh).  Deduplication family #5.  Scoring via the
-    Arrow numpy kernel, not the interpreted HOF expression."""
-    from map_the_net_crawler_spark.operators.similarity import cosine_pairs_pd
+    """Embedding-cosine near-duplicate pairs (exact variant, max_rows
+    guarded; the LSH scale path is q_embedding_neardup_lsh).
+    Deduplication family #5.  Scoring via the Arrow numpy kernel."""
+    from map_the_net_crawler_spark.operators.similarity import \
+        embedding_neardup_exact
     emb = _sf(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    a = emb.select(F.col("vec_id").alias("doc_a"),
-                   F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("doc_b"),
-                   F.col("embedding").alias("vb"))
-    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
-    cos = F.round(cosine_pairs_pd(F.col("va"), F.col("vb")), 6)
-    return (pairs.select("doc_a", "doc_b", cos.alias("cosine"))
-            .filter(F.col("cosine") >= 0.3))
+    return embedding_neardup_exact(emb, threshold=0.3)
 
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -550,19 +550,61 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload → deterministic stub features
-    (rows-only; the decode is stubbed, the Spark plumbing is real)."""
+    """Multimodal decode: synthesized REAL container payloads (valid
+    PNG / WAV bytes built from doc_id, raw text otherwise) go through
+    the byte-level header parse (functions/multimodal.sniff_media) —
+    the oracle recomputes width/height/duration from doc_id
+    independently, so a wrong parse hash-mismatches."""
+    import struct
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
     from map_the_net_crawler_spark.functions.multimodal import \
         extract_media_features
-    docs = _sf(spark, sf_dir, "documents").limit(100)
+
+    def _png(width: int, height: int) -> bytes:
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data)))
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+        raw = b"".join(b"\x00" + bytes((x * 7 + y * 13) % 256
+                                       for x in range(width))
+                       for y in range(height))
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    def _wav(duration_ms: int, rate: int = 8000) -> bytes:
+        n_bytes = int(rate * 2 * duration_ms / 1000)
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        data = bytes(n_bytes)
+        return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    @pandas_udf("binary")
+    def gen_payload(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(doc_id, text):
+            i = int(i)
+            if i % 3 == 0:
+                out.append(_png(i % 16 + 1, (i // 16) % 16 + 1))
+            elif i % 3 == 1:
+                out.append(_wav(i % 50 + 1))
+            else:
+                out.append((t or "").encode("utf-8"))
+        return pd.Series(out)
+
+    docs = _sf(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
         .otherwise("video").alias("media_type"),
-        F.encode("text", "utf-8").alias("payload"))
+        gen_payload(F.col("doc_id"), F.col("text")).alias("payload"))
     return extract_media_features(media, dim=8) \
-        .select("media_id", "media_type", "feature_dim", "decode_ok")
+        .select("media_id", "media_type", "format", "width", "height",
+                "duration_ms", "feature_dim", "decode_ok")
 
 
 def q_ugc_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -663,6 +705,44 @@ def q_backfill_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ssl_valid", "country", "ip_address", "asn")
 
 
+def q_backfill_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 backfill, web-data group (_collect_web_data page re-fetch,
+    fill_missing_domain_data.py:127-131): nodes with null web fields
+    re-join the pages snapshot through the crawl's extract UDF;
+    non-null-wins merge.  Synthetic holes: title='KeepTitle' on an
+    md5-keyed subset proves existing values survive; the rest backfill
+    from html (oracle: the committed golden extraction)."""
+    from map_the_net_crawler_spark.operators.maintenance import \
+        backfill_missing
+    d = _fx(spark, "dns").select("domain")
+    keep_title = F.substring(F.md5(F.col("domain")), 1, 1) < F.lit("8")
+    nodes = d.select(
+        F.xxhash64("domain").alias("domain_id"),
+        F.col("domain").alias("domain_name"),
+        F.when(keep_title, F.lit("KeepTitle")).alias("title"),
+        F.lit(None).cast("string").alias("description"),
+        F.lit(None).cast("string").alias("favicon_url"),
+        F.lit(None).cast("date").alias("created_date"),
+        F.lit(None).cast("date").alias("expiry_date"),
+        F.lit(None).cast("string").alias("registrar"),
+        F.lit(None).cast("array<string>").alias("nameservers"),
+        F.lit(None).cast("string").alias("asn"),
+        F.lit(None).cast("string").alias("asn_description"),
+        F.lit(None).cast("boolean").alias("ssl_valid"),
+        F.lit(None).cast("date").alias("ssl_expiry"),
+        F.lit(None).cast("string").alias("country"),
+        F.lit(None).cast("string").alias("ip_address"),
+        F.lit(None).cast("decimal(10,8)").alias("latitude"),
+        F.lit(None).cast("decimal(11,8)").alias("longitude"),
+        F.lit(None).cast("string").alias("category"),
+        F.lit(None).cast("array<string>").alias("tags"),
+        F.lit(0).alias("updated_iteration"))
+    out = backfill_missing(nodes, _fx(spark, "whois"), _fx(spark, "dns"),
+                           _fx(spark, "ssl"), _fx(spark, "geo"),
+                           pages=_fx(spark, "pages"))
+    return out.select("domain_name", "title", "description", "favicon_url")
+
+
 def q_top_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 top-10-by-count shape (archive_collection_logs.py:55-64) with a
     deterministic tiebreak, over the events table."""
@@ -677,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_metrics_log": q_metrics_log,
         "q_archive_split": q_archive_split,
         "q_backfill_merge": q_backfill_merge,
+        "q_backfill_web": q_backfill_web,
         "q_ugc_purge": q_ugc_purge,
         "q_top_agents": q_top_agents,
         "q_frontier_claim": q_frontier_claim,
@@ -1223,6 +1304,35 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN read_parquet('{_FIX}/geo.parquet') g
               ON g.ip_address = own.ip_address
         """,
+        # goldens: produced by the SEQUENTIAL implementations (htmlx
+        # one-page extraction / the pyref reference oracle) via
+        # scripts/make_goldens.py — generated once, committed, never at
+        # check time; the hash compare pins the Spark dataflow against
+        # the sequential semantics (same strategy as the hand-computed
+        # goldens in tests/test_semantics_core.py).
+        "q_backfill_web": f"""
+            WITH d AS (SELECT domain FROM read_parquet('{_FIX}/dns.parquet')),
+            n AS (SELECT domain AS domain_name,
+                    CASE WHEN substring(md5(domain), 1, 1) < '8'
+                         THEN 'KeepTitle' END AS t0
+                  FROM d),
+            g AS (SELECT url, title, description, favicon_url
+                  FROM read_parquet('{_FIX}/golden_extract_meta.parquet'))
+            SELECT n.domain_name,
+              coalesce(n.t0, g.title) AS title,
+              g.description AS description,
+              g.favicon_url AS favicon_url
+            FROM n LEFT JOIN g ON g.url = 'http://' || n.domain_name
+        """,
+        "q_crawl_edges": f"""
+            SELECT src_domain, dst_domain, relationship_type,
+                   link_text, link_url
+            FROM read_parquet('{_FIX}/golden_crawl_edges.parquet')
+        """,
+        "q_extract_text": f"""
+            SELECT url, title, description, favicon_url, meta_keywords, text
+            FROM read_parquet('{_FIX}/golden_extract_meta.parquet')
+        """,
         "q_queue_stats": f"""
             SELECT status, priority, count(*) AS cnt,
                    min(discovery_seq) AS min_seq, max(discovery_seq) AS max_seq
@@ -1389,8 +1499,28 @@ def oracle_sql() -> dict[str, str]:
                       list_min(hashes[j:j+3]))))
                 ELSE [] END AS fingerprints
               FROM g)
-            SELECT doc_id, fingerprints, len(fingerprints) AS n_fingerprints
+            SELECT doc_id,
+              unnest(list_transform(range(1, len(fingerprints) + 1),
+                                    j -> j - 1)) AS pos,
+              unnest(fingerprints) AS fingerprint
             FROM w
+        """,
+        "q_media_features": """
+            SELECT doc_id AS media_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'image'
+                   WHEN doc_id % 3 = 1 THEN 'audio'
+                   ELSE 'video' END AS media_type,
+              CASE WHEN doc_id % 3 = 0 THEN 'png'
+                   WHEN doc_id % 3 = 1 THEN 'wav' END AS format,
+              (CASE WHEN doc_id % 3 = 0 THEN doc_id % 16 + 1 END)::INT
+                AS width,
+              (CASE WHEN doc_id % 3 = 0 THEN (doc_id // 16) % 16 + 1 END)::INT
+                AS height,
+              (CASE WHEN doc_id % 3 = 1 THEN doc_id % 50 + 1 END)::INT
+                AS duration_ms,
+              8::INT AS feature_dim,
+              doc_id % 3 < 2 AS decode_ok
+            FROM documents WHERE doc_id < 100
         """,
         "q_word_jaccard": """
             WITH docs AS (

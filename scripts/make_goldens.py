@@ -1,0 +1,69 @@
+"""Generate the committed golden-parquet oracles (run once, outputs
+reviewed and committed — fixtures/golden_*.parquet).
+
+The driver's DuckDB gate cannot express HTML parsing or the iterative
+crawl in SQL, so those queries hash-compare against goldens produced by
+the SEQUENTIAL implementations (htmlx one-page extraction / the pyref
+reference oracle), the same strategy the hand-computed goldens in
+tests/test_semantics_core.py use — generated once here, never at check
+time, so the comparison catches any regression in the Spark dataflow.
+
+- golden_extract_meta.parquet: per fixture page (url, title,
+  description, favicon_url, meta_keywords, text) via htmlx
+  (reference analogue: domain_collector.py:563-585).
+- golden_crawl_edges.parquet: the edge table the sequential reference
+  oracle produces for the default 2-iteration fixture crawl
+  (domain_collector.py:1350-1412 loop semantics).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from map_the_net_crawler_spark.config import CrawlConfig  # noqa: E402
+from map_the_net_crawler_spark.htmlx import extract_page, resolve_favicon  # noqa: E402
+from map_the_net_crawler_spark.oracle.pyref import ReferenceOracle  # noqa: E402
+
+FIXDIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      "fixtures")
+
+
+def golden_extract_meta() -> pd.DataFrame:
+    pages = pd.read_parquet(os.path.join(FIXDIR, "pages.parquet"))
+    rows = []
+    for r in pages.itertuples():
+        ex = extract_page(bytes(r.html))
+        rows.append(dict(url=r.url, title=ex.title,
+                         description=ex.description,
+                         favicon_url=resolve_favicon(r.url, ex.favicon_url),
+                         meta_keywords=ex.meta_keywords, text=ex.text))
+    return pd.DataFrame(rows).sort_values("url").reset_index(drop=True)
+
+
+def golden_crawl_edges() -> pd.DataFrame:
+    fx = {n: pd.read_parquet(os.path.join(FIXDIR, f"{n}.parquet"))
+          for n in ("pages", "robots", "redirects", "whois", "dns", "ssl",
+                    "geo", "frontier_seed")}
+    ost = ReferenceOracle(fx, CrawlConfig()).run(max_iterations=2)
+    rows = [dict(src_domain=s, dst_domain=d, relationship_type=t,
+                 link_text=v["link_text"], link_url=v["link_url"])
+            for (s, d, t), v in ost.edges.items()]
+    return (pd.DataFrame(rows)
+            .sort_values(["src_domain", "dst_domain", "relationship_type"])
+            .reset_index(drop=True))
+
+
+if __name__ == "__main__":
+    em = golden_extract_meta()
+    em.to_parquet(os.path.join(FIXDIR, "golden_extract_meta.parquet"),
+                  index=False)
+    print(f"golden_extract_meta: {len(em)} rows")
+    ce = golden_crawl_edges()
+    ce.to_parquet(os.path.join(FIXDIR, "golden_crawl_edges.parquet"),
+                  index=False)
+    print(f"golden_crawl_edges: {len(ce)} rows")

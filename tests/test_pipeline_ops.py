@@ -69,6 +69,24 @@ class TestDedup:
             assert out[(1, 3)] <= 24       # near-dup → small distance
         assert all(h <= 64 for h in out.values())
 
+    def test_all_pairs_guard_trips(self, spark, docs):
+        """The documented all-pairs variants must fail fast on unblocked
+        input instead of going quadratic (VERDICT r2 item 4)."""
+        from map_the_net_crawler_spark.operators.similarity import \
+            embedding_neardup_exact
+        with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+            ngram_jaccard_pairs(docs, max_rows=3).collect()
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(5)],
+            "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="LSH-bucketed"):
+            embedding_neardup_exact(emb, max_rows=4).collect()
+        # within budget / explicit opt-out both still work
+        assert ngram_jaccard_pairs(docs, threshold=0.5,
+                                   max_rows=None).count() > 0
+        assert embedding_neardup_exact(emb, threshold=-1.0,
+                                       max_rows=10).count() == 10
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")
@@ -114,6 +132,25 @@ class TestSimilarity:
         assert sorted((r.neighbor_id, r.rank) for r in again) == \
             sorted((r.neighbor_id, r.rank) for r in ivf)
 
+    def test_ivf_recall_at_k(self, spark, emb):
+        """Aggregate recall@3 over 10 queries ≥ 0.8 (nprobe=3 of 4
+        cells) — pins approximation quality, not just determinism."""
+        from map_the_net_crawler_spark.operators.similarity import ivf_topk
+        q = emb.filter(F.col("vec_id") < 10)
+        ivf = ivf_topk(q, emb, dim=8, n_cells=4, nprobe=3, k=3).collect()
+        bf = brute_force_cosine_topk(q, emb, k=3).collect()
+        got = {}
+        for r in ivf:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        want = {}
+        for r in bf:
+            want.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(got.get(qid, set()) & nbrs)
+                   for qid, nbrs in want.items())
+        total = sum(len(nbrs) for nbrs in want.values())
+        assert total == 30
+        assert hits / total >= 0.8, f"recall {hits}/{total}"
+
 
 class TestTextAnalysis:
     def test_metrics_match_python(self, spark, docs):
@@ -144,6 +181,34 @@ class TestWinnowing:
         assert out[6] == set()              # 5-char doc: no full window
 
 
+def make_png(width: int, height: int) -> bytes:
+    """Minimal valid grayscale PNG, pure stdlib (zlib CRCs + IDAT)."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes((x * 7 + y * 13) % 256
+                                   for x in range(width))
+                   for y in range(height))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def make_wav(duration_ms: int, rate: int = 8000) -> bytes:
+    """Minimal valid 16-bit mono WAV, pure stdlib."""
+    import struct
+    n_bytes = int(rate * 2 * duration_ms / 1000)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    data = bytes(n_bytes)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
 class TestMultimodal:
     def test_feature_extraction_plumbing(self, spark):
         rows = [(1, "image", b"\x89PNG fake"), (2, "audio", b"RIFF fake"),
@@ -152,12 +217,40 @@ class TestMultimodal:
             rows, "media_id long, media_type string, payload binary")
         out = {r.media_id: r for r in extract_media_features(media, dim=8)
                .collect()}
-        assert all(out[i].decode_ok for i in (1, 2, 3, 4))
+        # junk magic bytes: no container matched, stub features still flow
+        assert all(not out[i].decode_ok for i in (1, 2, 3, 4))
         assert len(out[1].features) == 8
         # deterministic: same payload → same features
         out2 = {r.media_id: r for r in extract_media_features(media, dim=8)
                 .collect()}
         assert out[1].features == out2[1].features
+
+    def test_real_header_decode(self, spark):
+        """sniff_media parses actual PNG/WAV/GIF bytes — width/height/
+        duration recovered from real container structures (VERDICT r2
+        item 7: the decode step does real work now)."""
+        from map_the_net_crawler_spark.functions.multimodal import sniff_media
+        png = make_png(13, 7)
+        assert sniff_media(png) == {"format": "png", "width": 13,
+                                    "height": 7, "duration_ms": None}
+        wav = make_wav(250)
+        info = sniff_media(wav)
+        assert info["format"] == "wav" and info["duration_ms"] == 250
+        gif = b"GIF89a" + (16).to_bytes(2, "little") \
+            + (9).to_bytes(2, "little") + b"\x00" * 6
+        assert sniff_media(gif)["width"] == 16
+        assert sniff_media(gif)["height"] == 9
+        assert sniff_media(b"not a container") is None
+        # end-to-end through the Spark op
+        media = spark.createDataFrame(
+            [(1, "image", png), (2, "audio", wav), (3, "image", b"junk")],
+            "media_id long, media_type string, payload binary")
+        out = {r.media_id: r for r in extract_media_features(media, dim=8)
+               .collect()}
+        assert (out[1].format, out[1].width, out[1].height) == ("png", 13, 7)
+        assert (out[2].format, out[2].duration_ms) == ("wav", 250)
+        assert out[1].decode_ok and out[2].decode_ok
+        assert not out[3].decode_ok and len(out[3].features) == 8
 
     def test_frame_sample_plan(self, spark):
         media = spark.createDataFrame(
