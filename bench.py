@@ -157,8 +157,10 @@ def bench_membership(spark, n_frontier: int = 500_000,
     from pyspark.sql import functions as F
 
     from map_the_net_crawler_spark.operators.seen import anti_join_with_sketch
-    from map_the_net_crawler_spark.sketches import (bloom_probe_udf,
-                                                    build_bloom)
+    from map_the_net_crawler_spark.sketches import (ShardedBloomProbe,
+                                                    bloom_probe_udf,
+                                                    build_bloom,
+                                                    build_sharded_blooms)
 
     d = _tf.mkdtemp(prefix="mtn_membench_")
     spark.range(n_frontier).select(
@@ -186,14 +188,76 @@ def bench_membership(spark, n_frontier: int = 500_000,
                                       probe).count())
     joined = cand.filter(probe(F.col("clean_url"))).count()
     assert plain_n == bloom_n, "sketch changed the merge result"
+
+    # the 10^10-key layout: route-sharded blob table + cogroup probe
+    # (no driver merge, no broadcast — one shard per task)
+    t0 = time.time()
+    shards = build_sharded_blooms(frontier, "url", 32, n_frontier, 0.01)
+    shards.write.mode("overwrite").parquet(f"{d}/shards")
+    sharded_build_sec = round(time.time() - t0, 2)
+    sprobe = ShardedBloomProbe(spark.read.parquet(f"{d}/shards"), 32)
+    sharded_sec, sharded_n = timed(
+        lambda: anti_join_with_sketch(cand, keys, "clean_url",
+                                      sprobe).count())
+    assert plain_n == sharded_n, "sharded sketch changed the merge result"
     shutil.rmtree(d, ignore_errors=True)
     return {"candidates": n_candidates, "frontier": n_frontier,
             "plain_anti_join_sec": plain_sec,
             "bloom_build_sec": build_sec,
             "bloom_anti_join_sec": bloom_sec,
+            "sharded_bloom_build_sec": sharded_build_sec,
+            "sharded_bloom_anti_join_sec": sharded_sec,
             "anti_join_input_rows_plain": n_candidates,
             "anti_join_input_rows_bloom": joined,
             "shuffle_shrink_factor": round(n_candidates / max(joined, 1), 2)}
+
+
+def bench_skew(spark, n_pending: int = 400_000, hub_share: float = 0.9,
+               budget: int = 2_000) -> dict:
+    """Hub-domain skew on the politeness claim (§4.2): one domain holds
+    90% of pending URLs.  salt_buckets=1 collapses that domain's rank
+    window into a single task; salt_buckets=16 splits it into
+    deterministic sub-quota windows.  Reports wall time at both."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from map_the_net_crawler_spark.config import CrawlConfig
+    from map_the_net_crawler_spark.operators.frontier import claim_batch
+
+    d = _tf.mkdtemp(prefix="mtn_skewbench_")
+    n_hub = int(n_pending * hub_share)
+    spark.range(n_pending).select(
+        F.when(F.col("id") < n_hub,
+               F.concat(F.lit("http://hub.com/p"), F.col("id")))
+        .otherwise(F.concat(F.lit("http://d"), F.col("id") % 20_000,
+                            F.lit(".com/p"), F.col("id"))).alias("url"),
+        F.when(F.col("id") < n_hub, F.lit("hub.com"))
+        .otherwise(F.concat(F.lit("d"), F.col("id") % 20_000,
+                            F.lit(".com"))).alias("domain_name"),
+        F.lit(None).cast("string").alias("source_domain"),
+        F.lit(1).alias("priority"),
+        F.lit("pending").alias("status"),
+        F.col("id").alias("discovery_seq"),
+        F.lit(None).cast("timestamp").alias("discovery_ts"),
+        F.lit(0).alias("depth"),
+        F.lit(None).cast("string").alias("error_message"),
+        F.lit(None).cast("int").alias("processed_iteration"),
+    ).write.parquet(f"{d}/frontier")
+    frontier = spark.read.parquet(f"{d}/frontier")
+    cfg = CrawlConfig(max_items=50_000)
+
+    unsalted_sec, n1 = timed(
+        lambda: claim_batch(frontier, cfg, politeness_budget=budget,
+                            salt_buckets=1).count())
+    salted_sec, n16 = timed(
+        lambda: claim_batch(frontier, cfg, politeness_budget=budget,
+                            salt_buckets=16).count())
+    shutil.rmtree(d, ignore_errors=True)
+    return {"pending": n_pending, "hub_share": hub_share, "budget": budget,
+            "claimed_salt1": n1, "claimed_salt16": n16,
+            "claim_salt1_sec": unsalted_sec,
+            "claim_salt16_sec": salted_sec}
 
 
 def bench_ops(spark, sf_dir: str):
@@ -245,6 +309,10 @@ def main():
     queries.update(bench_ops(spark, SF_DIR))
     membership = bench_membership(spark)
     queries["membership_bloom_anti_join"] = membership["bloom_anti_join_sec"]
+    queries["membership_sharded_anti_join"] = \
+        membership["sharded_bloom_anti_join_sec"]
+    skew = bench_skew(spark)
+    queries["claim_hub_skew_salted"] = skew["claim_salt16_sec"]
     spark.stop()
 
     result["value"] = round(time.time() - t0, 2)
@@ -253,6 +321,7 @@ def main():
                        ("urls_per_sec", "sec_per_iteration",
                         "frontier_merge_sec_per_iteration", "urls_total")}
     result["membership"] = membership
+    result["skew"] = skew
 
     if os.environ.get("MTN_BENCH_SCALING") == "1":
         # same job, same input, two cluster sizes (N and 4N cores) — the

@@ -32,6 +32,26 @@ def normalize_text(text) -> "F.Column":
         r"^\s+|\s+$", ""))
 
 
+def assert_small_input(df: DataFrame, max_rows: int, op: str,
+                       scale_alternative: str) -> DataFrame:
+    """Fail-fast guard for the documented all-pairs/verification-only
+    operators: an O(n²) theta-join over an unblocked 10^8-doc input
+    would melt a cluster silently — count the input up front (one cheap
+    scan vs the quadratic join) and refuse loudly, pointing at the
+    bucketed variant.  Pass ``max_rows=None`` to opt out explicitly."""
+    if max_rows is None:
+        return df
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{op}: input has {n} rows > max_rows={max_rows}. This "
+            f"operator is all-pairs (O(n²)) by contract and only safe on "
+            f"pre-blocked candidate sets; use {scale_alternative} at "
+            f"scale, or pass max_rows=None if the input really is "
+            f"pre-blocked.")
+    return df
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact duplicates on normalized text: one survivor (min doc_id)
     per content hash; returns (doc_id, content_hash, group_size,
@@ -195,11 +215,14 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text",
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
-                        shingle_n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        shingle_n: int = 3, threshold: float = 0.8,
+                        max_rows: int | None = 10_000) -> DataFrame:
     """Exact n-gram Jaccard over all pairs of a (pre-blocked) input —
     used as the verification oracle for the LSH variants and directly on
-    small candidate sets."""
+    small candidate sets.  Guarded by ``max_rows`` (fail-fast on
+    unblocked input; the scale path is minhash_lsh_pairs)."""
+    docs = assert_small_input(docs, max_rows, "ngram_jaccard_pairs",
+                              "minhash_lsh_pairs")
     sh = docs.select("doc_id", shingles_col(F.col(text_col), shingle_n)
                      .alias("shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))

@@ -81,20 +81,29 @@ def missing_field_nodes(nodes: DataFrame, fields: list[str]) -> DataFrame:
 
 
 # the dimension-backed fields backfill re-collects
-# (fill_missing_domain_data.py:120-155 WHOIS/DNS/SSL/geo groups; the web
-# fields title/description/favicon belong to the crawl's fetch path)
+# (fill_missing_domain_data.py:120-155 WHOIS/DNS/SSL/geo groups)
 BACKFILL_FIELDS = ("created_date", "expiry_date", "registrar",
                    "nameservers", "asn", "asn_description", "ssl_valid",
                    "ssl_expiry", "country", "ip_address",
                    "latitude", "longitude")
 
+# the web-data group (_collect_web_data, fill_missing_domain_data.py:127-131)
+# — re-fetched from the pages snapshot through the extract UDF
+WEB_BACKFILL_FIELDS = ("title", "description", "favicon_url")
+
 
 def backfill_missing(nodes: DataFrame, whois: DataFrame, dns: DataFrame,
-                     ssl: DataFrame, geo: DataFrame) -> DataFrame:
+                     ssl: DataFrame, geo: DataFrame,
+                     pages: DataFrame | None = None) -> DataFrame:
     """fill_missing_domain_data.py:85-164 as one dataflow: null-field
     scan → re-run the enrichment joins (operators/enrich.enrich_batch,
     the same S4-S7 sources) → non-null-wins merge into nodes
-    (COALESCE(existing, collected) per field).
+    (COALESCE(existing, collected) per field).  When a ``pages``
+    snapshot is given, the web-data group (title/description/favicon —
+    _collect_web_data via page re-fetch, :127-131) is re-derived too:
+    null-web-field nodes join the pages snapshot on the root URL and go
+    through the same Arrow extract UDF the crawl uses, so a backfilled
+    title is byte-identical to a crawled one.
 
     Non-null-wins is the sane snapshot restatement: the reference's
     literal ``insert_domain`` ON DUPLICATE overwrite (database.py:199-218)
@@ -109,7 +118,29 @@ def backfill_missing(nodes: DataFrame, whois: DataFrame, dns: DataFrame,
     out = nodes.join(collected, "domain_name", "left")
     for f in BACKFILL_FIELDS:
         out = out.withColumn(f, F.coalesce(F.col(f), F.col(f"_new_{f}")))
-    return out.drop(*[f"_new_{f}" for f in BACKFILL_FIELDS])
+    out = out.drop(*[f"_new_{f}" for f in BACKFILL_FIELDS])
+
+    if pages is not None:
+        from ..functions.extract import extract_pages
+        web_todo = (missing_field_nodes(nodes, list(WEB_BACKFILL_FIELDS))
+                    .select("domain_name",
+                            F.concat(F.lit("http://"),
+                                     F.col("domain_name")).alias("url")))
+        # equi-join on url (shuffle both sides; the todo set is a
+        # fraction of nodes and pages is the big fact — let AQE pick the
+        # physical join), inner: a miss collects nothing, exactly the
+        # reference's failed-fetch path
+        fetched = web_todo.join(pages.select("url", "html"), "url", "inner")
+        web_meta = (extract_pages(fetched)
+                    .filter((F.col("link_pos") == -1) & F.col("fetch_ok"))
+                    .select("domain_name",
+                            *[F.col(f).alias(f"_new_{f}")
+                              for f in WEB_BACKFILL_FIELDS]))
+        out = out.join(web_meta, "domain_name", "left")
+        for f in WEB_BACKFILL_FIELDS:
+            out = out.withColumn(f, F.coalesce(F.col(f), F.col(f"_new_{f}")))
+        out = out.drop(*[f"_new_{f}" for f in WEB_BACKFILL_FIELDS])
+    return out
 
 
 def wipe(spark, schema) -> DataFrame:

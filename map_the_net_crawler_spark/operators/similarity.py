@@ -134,6 +134,27 @@ def brute_force_cosine_topk(queries: DataFrame, corpus: DataFrame,
     return _rank_topk(scored, k)
 
 
+def embedding_neardup_exact(emb: DataFrame, threshold: float = 0.3,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            max_rows: int | None = 10_000) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs — all-pairs by
+    contract (verification oracle / pre-blocked candidate sets only),
+    guarded by ``max_rows`` so unblocked 10^8-doc misuse fails fast
+    instead of going quadratic; the scale path is the LSH-bucketed
+    variant (lsh_bucketed_topk / q_embedding_neardup_lsh)."""
+    from .dedup import assert_small_input
+    emb = assert_small_input(emb, max_rows, "embedding_neardup_exact",
+                             "the LSH-bucketed variant "
+                             "(lsh_bucketed_topk)")
+    a = emb.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    cos = F.round(cosine_pairs_pd(F.col("va"), F.col("vb")), 6)
+    return (pairs.select("doc_a", "doc_b", cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
 def hyperplanes(dim: int, n_planes: int) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes: component j of plane p is
     sha256-derived in [-1, 1) — no RNG state, reproducible anywhere
@@ -203,25 +224,25 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int,
     mn = np.linalg.norm(M, axis=1)
     Mn = M / np.where(mn > 0, mn, 1.0)[:, None]
 
-    def assign_udf(n_keep: int):
-        @pandas_udf("array<int>")
-        def assign(v: pd.Series) -> pd.Series:
-            V = _stack(v)
-            vn = np.linalg.norm(V, axis=1)
-            sims = np.round((V / np.where(vn > 0, vn, 1.0)[:, None]) @ Mn.T, 6)
-            sims[vn == 0, :] = 0.0
-            cells = np.arange(sims.shape[1])
-            out = [np.lexsort((cells, -row))[:n_keep].astype(np.int32)
-                   for row in sims]
-            return pd.Series(out)
-        return assign
+    # ONE closure (centroid matrix ships once) used by both sides: the
+    # UDF ranks the nprobe nearest cells; corpus assignment is the first
+    @pandas_udf("array<int>")
+    def assign(v: pd.Series) -> pd.Series:
+        V = _stack(v)
+        vn = np.linalg.norm(V, axis=1)
+        sims = np.round((V / np.where(vn > 0, vn, 1.0)[:, None]) @ Mn.T, 6)
+        sims[vn == 0, :] = 0.0
+        cells = np.arange(sims.shape[1])
+        out = [np.lexsort((cells, -row))[:nprobe].astype(np.int32)
+               for row in sims]
+        return pd.Series(out)
 
     c_assigned = c.withColumn("cell",
-                              F.element_at(assign_udf(1)(F.col("c_vec")), 1))
+                              F.element_at(assign(F.col("c_vec")), 1))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
     q_assigned = q.withColumn("cell",
-                              F.explode(assign_udf(nprobe)(F.col("q_vec"))))
+                              F.explode(assign(F.col("q_vec"))))
 
     scored = (q_assigned.join(c_assigned, "cell")
               .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -94,3 +94,46 @@ def test_backfill_non_null_wins(spark, fixture_paths):
             assert out[d].registrar == "PreExisting"   # non-null survives
         assert out[d].ip_address == dns_rows[d].ip_address  # null filled
         assert out[d].ssl_valid is not None
+
+
+def test_backfill_web_fields(spark, fixture_paths):
+    """Web-data group (fill_missing_domain_data.py:127-131): a null
+    title backfills from the pages snapshot through the crawl's extract
+    UDF (byte-identical to a crawled title); an existing title
+    survives; a domain with no page collects nothing."""
+    from map_the_net_crawler_spark import schemas as S
+    from map_the_net_crawler_spark.functions.extract import extract_pages
+    from map_the_net_crawler_spark.operators.maintenance import (
+        BACKFILL_FIELDS, backfill_missing)
+    whois = spark.read.parquet(fixture_paths["whois"])
+    dns = spark.read.parquet(fixture_paths["dns"])
+    ssl = spark.read.parquet(fixture_paths["ssl"])
+    geo = spark.read.parquet(fixture_paths["geo"])
+    pages = spark.read.parquet(fixture_paths["pages"])
+    doms = [r.url[len("http://"):] for r in
+            pages.select("url").orderBy("url").limit(3).collect()]
+    doms.append("no-page-here.example")
+    nodes = spark.createDataFrame(
+        [(d, "PreTitle" if i == 0 else None, None, None)
+         for i, d in enumerate(doms)],
+        "domain_name string, title string, description string, "
+        "favicon_url string")
+    for f in BACKFILL_FIELDS:
+        nodes = nodes.withColumn(f, F.lit(None).cast(S.NODES[f].dataType))
+    out = {r.domain_name: r for r in
+           backfill_missing(nodes, whois, dns, ssl, geo,
+                            pages=pages).collect()}
+    # reference values straight from the extract UDF over those pages
+    want = {r.domain_name: r for r in extract_pages(
+        pages.filter(F.col("url").isin(
+            [f"http://{d}" for d in doms[:3]]))
+        .select("url", F.regexp_replace("url", "^http://", "")
+                .alias("domain_name"), "html"))
+        .filter(F.col("link_pos") == -1).collect()}
+    assert out[doms[0]].title == "PreTitle"                 # survives
+    assert out[doms[0]].description == want[doms[0]].description
+    for d in doms[1:3]:
+        assert out[d].title == want[d].title                # backfilled
+        assert out[d].favicon_url == want[d].favicon_url
+    assert out["no-page-here.example"].title is None        # no page
+    assert len(out) == 4

@@ -66,6 +66,39 @@ class TestClaim:
         assert "TakeOrderedAndProject" in plan
 
 
+class TestSkew:
+    def test_salted_claim_splits_hub_domain(self, spark):
+        """§4.2 hub-domain skew: with salt_buckets>1 the per-domain rank
+        window partitions by (domain, salt), so one hub domain holding
+        90% of pending URLs cannot collapse the window stage into a
+        single task — pinned both in the plan (the salt expression is
+        part of the window partition spec) and behaviorally (per-salt
+        sub-quota bound, budget respected after the union)."""
+        from map_the_net_crawler_spark.config import CrawlConfig
+        from map_the_net_crawler_spark.operators.frontier import claim_batch
+        rows = [(f"http://hub.com/p{i}", "hub.com", None, 1, "pending", i,
+                 None, 0, None, None) for i in range(900)]
+        rows += [(f"http://d{i}.com", f"d{i}.com", None, 1, "pending",
+                  900 + i, None, 0, None, None) for i in range(100)]
+        f = spark.createDataFrame(
+            rows,
+            "url string, domain_name string, source_domain string, "
+            "priority int, status string, discovery_seq long, "
+            "discovery_ts timestamp, depth int, error_message string, "
+            "processed_iteration int")
+        cfg = CrawlConfig(max_items=200)
+        out = claim_batch(f, cfg, politeness_budget=64, salt_buckets=16)
+        plan = plan_of(out)
+        assert "pmod" in plan and "xxhash64" in plan  # salted partition key
+        got = out.collect()
+        hub = [r for r in got if r.domain_name == "hub.com"]
+        # sub-quota = ceil(64/16) = 4 per (domain, salt): the hub's rows
+        # come from ≤16 independent window groups of ≤4 rows each
+        assert 0 < len(hub) <= 64
+        # claim stays a distributed top-k after the salting
+        assert "TakeOrderedAndProject" in plan
+
+
 class TestSketchPath:
     def test_sure_new_rows_bypass_join(self, spark):
         """anti_join_with_sketch: the provably-new branch must contain no

@@ -56,6 +56,58 @@ def test_column_regex_parse_matches_urllib(spark, urls):
         assert r.clean_url == clean_url_for_queue(r.url), r.url
 
 
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1),
+       budget=st.integers(min_value=1, max_value=12))
+@settings(max_examples=5, deadline=None)
+def test_politeness_budget_claim_equivalence(spark, seed, budget):
+    """When the per-domain politeness budget is at least the largest
+    per-domain pending count, the budget window prunes nothing and the
+    claim is IDENTICAL (same rows, same claim_rank order) to faithful
+    claim mode — i.e. politeness only ever removes over-budget rows,
+    never reorders (VERDICT r2 item 10; reference sleep semantics,
+    domain_collector.py:1411-1412 re-expressed as cardinality)."""
+    import random
+
+    from map_the_net_crawler_spark.config import CrawlConfig
+    from map_the_net_crawler_spark.operators.frontier import claim_batch
+    rng = random.Random(seed)
+    rows, seq = [], 0
+    for d in range(8):
+        for _ in range(rng.randint(1, budget)):   # per-domain ≤ budget
+            rows.append((f"http://d{d}.com/p{seq}", f"d{d}.com", None,
+                         rng.randint(1, 3), "pending", seq, None, 0,
+                         None, None))
+            seq += 1
+    f = spark.createDataFrame(
+        rows,
+        "url string, domain_name string, source_domain string, "
+        "priority int, status string, discovery_seq long, "
+        "discovery_ts timestamp, depth int, error_message string, "
+        "processed_iteration int")
+    cfg = CrawlConfig(max_items=20)
+    plain = [(r.claim_rank, r.url) for r in
+             claim_batch(f, cfg).orderBy("claim_rank").collect()]
+    budgeted = [(r.claim_rank, r.url) for r in
+                claim_batch(f, cfg, politeness_budget=budget)
+                .orderBy("claim_rank").collect()]
+    assert plain == budgeted
+    # salting is a skew heuristic: per-domain intake is bounded by
+    # salt_buckets × ceil(budget/salt_buckets) (the sub-quota bound —
+    # approximate, within ceil rounding of the budget), and the claim
+    # stays deterministic across partitionings
+    salted = claim_batch(f, cfg, politeness_budget=budget,
+                         salt_buckets=4).orderBy("claim_rank").collect()
+    sub_quota = -(-budget // 4)
+    per_dom: dict = {}
+    for r in salted:
+        per_dom[r.domain_name] = per_dom.get(r.domain_name, 0) + 1
+    assert all(c <= 4 * sub_quota for c in per_dom.values())
+    again = claim_batch(f.repartition(7), cfg, politeness_budget=budget,
+                        salt_buckets=4).orderBy("claim_rank").collect()
+    assert [(r.claim_rank, r.url) for r in salted] == \
+        [(r.claim_rank, r.url) for r in again]
+
+
 @given(texts=st.lists(st.text(max_size=60), min_size=10, max_size=25))
 @settings(max_examples=5, deadline=None)
 def test_exact_dedup_survivor_invariants(spark, texts):
