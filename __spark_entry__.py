@@ -346,8 +346,10 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_robots_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U7 robots UDF decisions per fixture domain (rows-only; unit tests
-    pin every parser quirk)."""
+    """U7 robots UDF decisions per fixture domain — hash-compared
+    against the committed golden produced by the sequential parser
+    (scripts/make_goldens.py; every parser quirk pinned by
+    hand-computed unit tests in tests/test_semantics_core.py)."""
     from map_the_net_crawler_spark.functions.robots import make_robots_udf
     udf = make_robots_udf("WorldMapper/1.0 (compatible)")
     r = _fx(spark, "robots")
@@ -743,6 +745,23 @@ def q_backfill_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("domain_name", "title", "description", "favicon_url")
 
 
+def q_screenshot_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 screenshot sink (domain_collector.py:885-919, default-off
+    config.py:36): mapInPandas sink-with-receipt — renders a
+    deterministic valid PNG per domain, writes it executor-side, and
+    the manifest re-sniffs the written bytes.  The oracle recomputes
+    the expected dimensions from the domain string alone, so a wrong
+    render OR a wrong header parse mismatches."""
+    import tempfile
+
+    from map_the_net_crawler_spark.operators.screenshot import \
+        screenshot_sink
+    d = _fx(spark, "dns").select(F.col("domain").alias("domain_name"))
+    out_dir = tempfile.mkdtemp(prefix="mtn_shots_")
+    return screenshot_sink(d, out_dir) \
+        .select("domain_name", "format", "width", "height", "ok")
+
+
 def q_top_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 top-10-by-count shape (archive_collection_logs.py:55-64) with a
     deterministic tiebreak, over the events table."""
@@ -758,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_archive_split": q_archive_split,
         "q_backfill_merge": q_backfill_merge,
         "q_backfill_web": q_backfill_web,
+        "q_screenshot_manifest": q_screenshot_manifest,
         "q_ugc_purge": q_ugc_purge,
         "q_top_agents": q_top_agents,
         "q_frontier_claim": q_frontier_claim,
@@ -1329,9 +1349,21 @@ def oracle_sql() -> dict[str, str]:
                    link_text, link_url
             FROM read_parquet('{_FIX}/golden_crawl_edges.parquet')
         """,
+        "q_screenshot_manifest": f"""
+            SELECT domain AS domain_name,
+              'png' AS format,
+              (length(domain) % 8 + 4)::INT AS width,
+              (ascii(substring(domain, 1, 1)) % 8 + 4)::INT AS height,
+              true AS ok
+            FROM read_parquet('{_FIX}/dns.parquet')
+        """,
         "q_extract_text": f"""
             SELECT url, title, description, favicon_url, meta_keywords, text
             FROM read_parquet('{_FIX}/golden_extract_meta.parquet')
+        """,
+        "q_robots_decisions": f"""
+            SELECT domain, allowed
+            FROM read_parquet('{_FIX}/golden_robots_decisions.parquet')
         """,
         "q_queue_stats": f"""
             SELECT status, priority, count(*) AS cnt,

@@ -58,6 +58,21 @@ def golden_crawl_edges() -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def golden_robots_decisions() -> pd.DataFrame:
+    """Sequential robots.txt decisions per fixture domain (the parser
+    with the reference's directive-reset quirk, functions/robots.py —
+    quirks pinned by hand-computed unit tests)."""
+    from map_the_net_crawler_spark.functions.robots import robots_allowed
+    robots = pd.read_parquet(os.path.join(FIXDIR, "robots.parquet"))
+    rows = [dict(domain=r.domain,
+                 allowed=bool(robots_allowed(
+                     r.body, None if pd.isna(r.status_code)
+                     else int(r.status_code),
+                     "/", "WorldMapper/1.0 (compatible)")))
+            for r in robots.itertuples()]
+    return pd.DataFrame(rows).sort_values("domain").reset_index(drop=True)
+
+
 if __name__ == "__main__":
     em = golden_extract_meta()
     em.to_parquet(os.path.join(FIXDIR, "golden_extract_meta.parquet"),
@@ -67,3 +82,7 @@ if __name__ == "__main__":
     ce.to_parquet(os.path.join(FIXDIR, "golden_crawl_edges.parquet"),
                   index=False)
     print(f"golden_crawl_edges: {len(ce)} rows")
+    rd = golden_robots_decisions()
+    rd.to_parquet(os.path.join(FIXDIR, "golden_robots_decisions.parquet"),
+                  index=False)
+    print(f"golden_robots_decisions: {len(rd)} rows")

@@ -137,3 +137,31 @@ def test_backfill_web_fields(spark, fixture_paths):
         assert out[d].favicon_url == want[d].favicon_url
     assert out["no-page-here.example"].title is None        # no page
     assert len(out) == 4
+
+
+def test_screenshot_sink(spark, tmp_path):
+    """S8: the sink writes one valid PNG per domain executor-side and
+    the manifest's dimensions come from re-sniffing the written file."""
+    from map_the_net_crawler_spark.functions.multimodal import sniff_media
+    from map_the_net_crawler_spark.operators.screenshot import (
+        placeholder_png, screenshot_sink)
+    doms = ["alpha.com", "beta.org", "alpha.com"]     # dup collapses
+    nodes = spark.createDataFrame([(d,) for d in doms],
+                                  "domain_name string")
+    out_dir = str(tmp_path / "shots")
+    rows = {r.domain_name: r for r in
+            screenshot_sink(nodes, out_dir).collect()}
+    assert set(rows) == {"alpha.com", "beta.org"}
+    for d, r in rows.items():
+        assert r.ok and r.format == "png"
+        assert r.width == len(d) % 8 + 4
+        assert r.height == ord(d[0]) % 8 + 4
+        with open(r.path, "rb") as f:
+            blob = f.read()
+        assert blob == placeholder_png(d)             # deterministic
+        assert sniff_media(blob)["width"] == r.width
+    # injected capture callable replaces the placeholder renderer
+    rows2 = screenshot_sink(nodes, str(tmp_path / "shots2"),
+                            capture=lambda d: placeholder_png("x" + d)
+                            ).collect()
+    assert all(r.width == (len(r.domain_name) + 1) % 8 + 4 for r in rows2)
