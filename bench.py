@@ -121,8 +121,9 @@ def bench_crawl(spark, corpus_dir: str, timed_iterations: int = 2):
         next_seq = r.next_seq
         total_urls += r.claimed
         total_s += dt
-        merge_s += (r.timings or {}).get("new_pending_write", 0.0) \
-            + (r.timings or {}).get("tables_commit", 0.0)
+        merge_s += sum((r.timings or {}).get(k, 0.0) for k in
+                       ("new_pending_write", "frontier_write",
+                        "tables_commit"))
         iters.append({"iteration": i, "claimed": r.claimed,
                       "processed": r.processed, "new_urls": r.new_urls,
                       "sec": round(dt, 2), "timings": r.timings})
