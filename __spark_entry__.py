@@ -668,6 +668,33 @@ def q_archive_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("event_id").alias("min_event")))
 
 
+def q_link_exclusion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 metrics surface: per-source-domain counts by FIRST-matching
+    exclusion reason — the ordered early-return chain of
+    _should_exclude_url (domain_collector.py:144-203) — via the real
+    link_exclusion_stats operator; survivors count under 'kept'."""
+    from map_the_net_crawler_spark.operators.links import \
+        link_exclusion_stats
+    lc = _fx(spark, "link_candidates")
+    netloc = F.regexp_extract("href", r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    path = F.regexp_replace(
+        F.regexp_extract("href",
+                         r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1),
+        r";[^/]*$", "")
+    query = F.regexp_extract("href", r"^[^?#]*\?([^#]*)", 1)
+    params = F.filter(F.split(query, "&"), lambda p: p != "")
+    pnames = F.transform(params, lambda p: F.regexp_extract(p, "^([^=]*)", 1))
+    links = lc.select(
+        F.col("src_domain").alias("domain_name"), "href", "link_text",
+        netloc.alias("href_netloc"), path.alias("href_path"),
+        F.size(params).alias("n_query_params"),
+        pnames.alias("param_names"))
+    out = link_exclusion_stats(links)
+    return out.select("domain_name",
+                      F.coalesce(F.col("reason"), F.lit("kept"))
+                      .alias("reason"), "cnt")
+
+
 def q_backfill_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 backfill (fill_missing_domain_data.py:85-164): nodes with
     null enrichment fields re-run the S4-S7 joins; non-null-wins merge.
@@ -785,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_queue_stats": q_queue_stats,
         "q_url_canonicalize": q_url_canonicalize,
         "q_link_filter": q_link_filter,
+        "q_link_exclusion_stats": q_link_exclusion_stats,
         "q_domain_exclusion": q_domain_exclusion,
         "q_naive_main_domain": q_naive_main_domain,
         "q_whois_dates": q_whois_dates,
@@ -1218,6 +1246,45 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id ORDER BY cnt DESC, user_id ASC LIMIT 10
         """,
         "q_link_filter": link_filter_sql,
+        "q_link_exclusion_stats": f"""
+            WITH l AS (
+              SELECT pos, href, link_text, src_domain,
+                {netloc_x} AS netloc, {path_x} AS path, {query_x} AS query
+              FROM read_parquet('{_FIX}/link_candidates.parquet')),
+            p AS (
+              SELECT *,
+                list_filter(string_split(query, '&'), x -> x <> '') AS params,
+                list_filter(string_split(path, '/'), x -> x <> '') AS segs,
+                regexp_replace(coalesce(link_text, ''), '^\\s+|\\s+$', '', 'g') AS txt
+              FROM l),
+            r AS (
+              SELECT src_domain AS domain_name,
+                CASE
+                  WHEN netloc = '' THEN 'no_domain'
+                  WHEN regexp_matches(lower(path), '{ext_re}')
+                    THEN 'excluded_extension'
+                  WHEN regexp_matches(lower(href), '{pattern_re}')
+                    THEN 'excluded_pattern'
+                  WHEN len(params) > 10 THEN 'too_many_query_params'
+                  WHEN len(list_filter(params, x -> regexp_matches(
+                        lower(regexp_extract(x, '^([^=]*)', 1)),
+                        '{tracking_re}'))) > 0 THEN 'tracking_parameter'
+                  WHEN length(href) > 500 THEN 'url_too_long'
+                  WHEN len(segs) > 8 THEN 'too_many_path_segments'
+                  WHEN len(segs) > 0 AND list_contains(
+                        ['api','admin','assets','static','cdn','images',
+                         'img','css','js'], lower(segs[1]))
+                    THEN 'non_content_path'
+                  WHEN length(txt) < 2 THEN 'short_link_text'
+                  WHEN list_contains(
+                        ['click here','read more','learn more','continue',
+                         'next','previous'], lower(txt))
+                    THEN 'non_content_link_text'
+                  ELSE 'kept' END AS reason
+              FROM p)
+            SELECT domain_name, reason, count(*) AS cnt
+            FROM r GROUP BY domain_name, reason
+        """,
         "q_domain_exclusion": f"""
             WITH d AS (
               SELECT DISTINCT regexp_replace(lower({netloc_x}), '^www\\.', '') AS domain
