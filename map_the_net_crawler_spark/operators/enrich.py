@@ -2,7 +2,15 @@
 
 The reference's per-domain network calls (WHOIS :593-739, DNS+ASN
 :741-814, SSL :816-841, geolocation :843-883) become left joins against
-snapshot dimension tables, all broadcast (small dims vs the batch):
+snapshot dimension tables.  Each dimension is first PRUNED to the
+batch's own key set (one broadcast semi-join of the tiny key set into
+the dim scan), then the pruned — batch-bounded — result is broadcast
+into the outer join: the dim snapshots grow with the whole crawl
+(10^9-domain WHOIS/DNS tables at the north-rule scale) and must never
+be broadcast whole, while the ≤k-domain batch keys always can be.
+Left-outer semantics force the build side to be the right/dim side
+(BroadcastHashJoin BuildRight), which is why the pruning happens on
+the dim rather than broadcasting the batch:
 
 - WHOIS only applies to naive main domains (domain_collector.py:453-458,
   naive last-2-labels :226-232); subdomains copy created/expiry/registrar
@@ -29,23 +37,47 @@ def _naive_main(domain: F.Column) -> F.Column:
                   F.concat_ws(".", F.slice(parts, -2, 2))).otherwise(domain)
 
 
+def _bounded(dim: DataFrame, keys: DataFrame, key: str) -> DataFrame:
+    """Prune an unbounded dimension snapshot to a batch-bounded key set
+    (broadcast semi-join into the dim scan) so the subsequent broadcast
+    of the dim side stays ≤ batch-sized at any corpus scale."""
+    return dim.join(F.broadcast(keys.select(key).distinct()),
+                    key, "left_semi")
+
+
 def enrich_batch(batch: DataFrame, whois: DataFrame, dns: DataFrame,
                  ssl: DataFrame, geo: DataFrame,
-                 prior_nodes: DataFrame) -> DataFrame:
+                 prior_nodes: DataFrame,
+                 small_batch: bool = True) -> DataFrame:
     """batch: (domain_name, batch_rank, ...) — adds the enrichment columns.
 
     prior_nodes supplies the whois-copy source for subdomains whose main
     domain is NOT in this batch at an earlier rank.
+
+    small_batch=True (the crawl path, ≤k domains): dims are pruned to
+    the batch key set and broadcast.  small_batch=False (maintenance
+    backfill, where the "batch" may be a large fraction of the nodes
+    table): plain equi-joins, strategy left to Catalyst/AQE — neither
+    side is safely broadcastable there.
     """
     df = batch.withColumn("main_domain", _naive_main(F.col("domain_name")))
 
+    def dim(d: DataFrame, keys: DataFrame, key: str) -> DataFrame:
+        return _bounded(d, keys, key) if small_batch else d
+
+    def bc(d: DataFrame) -> DataFrame:
+        return F.broadcast(d) if small_batch else d
+
     # --- WHOIS for main domains
-    w = whois.select(
+    main_keys = df.select("main_domain")
+    dom_keys = df.select("domain_name")
+    w = dim(whois, main_keys.withColumnRenamed("main_domain", "domain"),
+                 "domain").select(
         F.col("domain").alias("main_domain"),
         normalize_date(F.col("created_date_raw")).alias("_w_created"),
         normalize_date(F.col("expiry_date_raw")).alias("_w_expiry"),
         F.col("registrar").alias("_w_registrar"))
-    df = df.join(F.broadcast(w), "main_domain", "left")
+    df = df.join(bc(w), "main_domain", "left")
 
     # whois-copy for subdomains: parent processed earlier in this batch …
     batch_parents = df.filter(F.col("domain_name") == F.col("main_domain")) \
@@ -54,16 +86,20 @@ def enrich_batch(batch: DataFrame, whois: DataFrame, dns: DataFrame,
                 F.col("_w_created").alias("_bp_created"),
                 F.col("_w_expiry").alias("_bp_expiry"),
                 F.col("_w_registrar").alias("_bp_registrar"))
-    # … else the parent node from previous iterations
-    prior_parents = prior_nodes.select(
+    # … else the parent node from previous iterations (prior_nodes is
+    # the FULL nodes table — prune before broadcasting)
+    prior_parents = dim(
+        prior_nodes,
+        main_keys.withColumnRenamed("main_domain", "domain_name"),
+        "domain_name").select(
         F.col("domain_name").alias("main_domain"),
         F.col("created_date").alias("_pp_created"),
         F.col("expiry_date").alias("_pp_expiry"),
         F.col("registrar").alias("_pp_registrar"))
     is_main = F.col("domain_name") == F.col("main_domain")
     df = (df
-          .join(F.broadcast(batch_parents), "main_domain", "left")
-          .join(F.broadcast(prior_parents), "main_domain", "left")
+          .join(bc(batch_parents), "main_domain", "left")
+          .join(bc(prior_parents), "main_domain", "left")
           .withColumn("_bp_visible",
                       F.col("_p_rank").isNotNull()
                       & (F.col("_p_rank") < F.col("batch_rank")))
@@ -81,31 +117,37 @@ def enrich_batch(batch: DataFrame, whois: DataFrame, dns: DataFrame,
                       .otherwise(F.col("_pp_registrar"))))
 
     # --- DNS + parent-NS fallback + ASN
-    d_own = dns.select(F.col("domain").alias("domain_name"),
+    d_own = dim(dns, dom_keys.withColumnRenamed("domain_name",
+                                                      "domain"),
+                     "domain").select(F.col("domain").alias("domain_name"),
                        F.col("nameservers").alias("_ns_own"),
                        F.col("ip_address").alias("ip_address"),
                        F.col("asn"), F.col("asn_description"))
-    d_parent = dns.select(F.col("domain").alias("main_domain"),
+    d_parent = dim(dns, main_keys.withColumnRenamed("main_domain",
+                                                          "domain"),
+                        "domain").select(F.col("domain").alias("main_domain"),
                           F.col("nameservers").alias("_ns_parent"))
     df = (df
-          .join(F.broadcast(d_own), "domain_name", "left")
-          .join(F.broadcast(d_parent), "main_domain", "left")
+          .join(bc(d_own), "domain_name", "left")
+          .join(bc(d_parent), "main_domain", "left")
           .withColumn("nameservers",
                       F.when(F.col("_ns_own").isNotNull(), F.col("_ns_own"))
                       .when(~is_main, F.col("_ns_parent"))
                       .otherwise(F.lit(None))))
 
     # --- SSL: missing row == failed handshake → ssl_valid false
-    s = ssl.select(F.col("domain").alias("domain_name"),
+    s = dim(ssl, dom_keys.withColumnRenamed("domain_name", "domain"),
+                 "domain").select(F.col("domain").alias("domain_name"),
                    F.col("ssl_valid").alias("_ssl_valid"),
                    F.col("ssl_expiry").alias("ssl_expiry"))
-    df = (df.join(F.broadcast(s), "domain_name", "left")
+    df = (df.join(bc(s), "domain_name", "left")
           .withColumn("ssl_valid", F.coalesce(F.col("_ssl_valid"), F.lit(False))))
 
     # --- geolocation by the dns-resolved ip
-    g = geo.select(F.col("ip_address"),
+    g = dim(geo, d_own.select("ip_address"), "ip_address") \
+        .select(F.col("ip_address"),
                    F.col("latitude"), F.col("longitude"), F.col("country"))
-    df = df.join(F.broadcast(g), "ip_address", "left")
+    df = df.join(bc(g), "ip_address", "left")
 
     return df.drop("_w_created", "_w_expiry", "_w_registrar", "_p_rank",
                    "_bp_created", "_bp_expiry", "_bp_registrar",

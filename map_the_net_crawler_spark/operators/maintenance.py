@@ -113,7 +113,10 @@ def backfill_missing(nodes: DataFrame, whois: DataFrame, dns: DataFrame,
     from .enrich import enrich_batch
     todo = missing_field_nodes(nodes, list(BACKFILL_FIELDS)) \
         .select("domain_name", F.lit(0).alias("batch_rank"))
-    collected = enrich_batch(todo, whois, dns, ssl, geo, nodes).select(
+    # small_batch=False: the backfill todo set can be a large fraction
+    # of the nodes table — join strategy is left to Catalyst/AQE
+    collected = enrich_batch(todo, whois, dns, ssl, geo, nodes,
+                             small_batch=False).select(
         "domain_name", *[F.col(f).alias(f"_new_{f}") for f in BACKFILL_FIELDS])
     out = nodes.join(collected, "domain_name", "left")
     for f in BACKFILL_FIELDS:

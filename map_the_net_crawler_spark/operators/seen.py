@@ -35,6 +35,24 @@ def seen_counts(seen: DataFrame) -> DataFrame:
     return seen.groupBy("domain_name").agg(F.count("*").alias("seen_cnt"))
 
 
+def seen_counts_pruned(seen: DataFrame, domains: DataFrame) -> DataFrame:
+    """seen_counts restricted to a bounded domain set (one broadcast
+    semi-join into the seen scan, then the group-by).
+
+    The crawl loop only ever JOINS the counts against iteration-bounded
+    key sets (claimed domains, this batch's discovery targets), so the
+    global per-domain aggregate — whose row count grows with the whole
+    crawl and would eventually be unbroadcastable — is never needed:
+    pruning to the join's own key set first keeps the broadcast side
+    bounded by the batch at any corpus size, bit-identically (a domain
+    outside the set can never appear as a join key).  ``domains``:
+    one ``domain_name`` column, iteration-bounded."""
+    return (seen
+            .join(F.broadcast(domains.select("domain_name").distinct()),
+                  "domain_name", "left_semi")
+            .groupBy("domain_name").agg(F.count("*").alias("seen_cnt")))
+
+
 def anti_join_seen(candidates: DataFrame, seen: DataFrame,
                    url_col: str = "url") -> DataFrame:
     """J7 exact membership: NOT EXISTS via left-anti join."""

@@ -42,7 +42,7 @@ from ..operators.frontier import (apply_claim_gates, claim_batch,
 from ..operators.links import (build_relationships,
                                discoveries_from_relationships,
                                edges_from_relationships, filter_links)
-from ..operators.seen import seen_counts, upsert_seen
+from ..operators.seen import seen_counts_pruned, upsert_seen
 from ..storage import TableIO
 
 
@@ -106,8 +106,6 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     nodes = tio.read("nodes", S.NODES, version=base)
     edges = tio.read("edges", S.EDGES, version=base)
 
-    scounts = seen_counts(seen)
-
     # ---- claim + gates, materialized as ONE snapshot: every downstream
     # stage (fetch, nodes, links, seen, frontier, metrics) re-reads this
     # ≤k-row parquet instead of re-executing the claim top-k, robots UDF
@@ -125,11 +123,18 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     else:
         robots_flags = domains.withColumn("robots_allowed", F.lit(True))
 
+    # per-domain history counts, pruned to THIS claim's domain set: the
+    # quota gates only join counts against iteration-bounded keys, so
+    # the broadcast side stays batch-sized at any corpus size (a global
+    # seen_counts aggregate grows with the crawl and would eventually be
+    # unbroadcastable — see seen.seen_counts_pruned)
+    scounts_claim = seen_counts_pruned(seen, domains)
+
     # claimed/skipped counts ride the gated WRITE as observed metrics —
     # zero extra jobs (was a separate groupBy action per iteration)
     from pyspark.sql import Observation
     obs_g = Observation()
-    gated = apply_claim_gates(claimed, scounts, robots_flags, cfg) \
+    gated = apply_claim_gates(claimed, scounts_claim, robots_flags, cfg) \
         .observe(obs_g,
                  F.count(F.lit(1)).alias("n"),
                  F.sum(F.when(F.col("gate_status") == "skipped", 1)
@@ -233,11 +238,16 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
                 .withColumn("longitude", F.lit(None).cast("decimal(11,8)")))
 
     # F13 complete-data short-circuit (database.py:663-687): domains whose
-    # node already has title+description+ip skip the metadata update
-    complete = nodes.filter(F.col("title").isNotNull()
-                            & F.col("description").isNotNull()
-                            & F.col("ip_address").isNotNull()) \
-        .select("domain_name")
+    # node already has title+description+ip skip the metadata update.
+    # Pruned to this batch's domains before broadcasting: the complete
+    # set grows with the whole crawl and would eventually be
+    # unbroadcastable; only batch keys can match the anti-join anyway.
+    complete = (nodes.filter(F.col("title").isNotNull()
+                             & F.col("description").isNotNull()
+                             & F.col("ip_address").isNotNull())
+                .select("domain_name")
+                .join(F.broadcast(meta.select("domain_name").distinct()),
+                      "domain_name", "left_semi"))
     full_updates = (meta.join(F.broadcast(complete), "domain_name", "left_anti")
                     .select(
                         F.xxhash64("domain_name").alias("domain_id"),
@@ -275,7 +285,12 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
         valid = tio.read("valid_links", version=iteration)
     else:
         tmr.lap("valid_links_skip")
-    rels = build_relationships(valid, inputs.redirects, scounts,
+    # history counts for the quota gates on TARGET domains, pruned to
+    # this iteration's discovered-target set (bounded by batch × caps —
+    # the discovery/enqueue gates join on exactly these keys)
+    scounts_targets = seen_counts_pruned(
+        seen, valid.select(F.col("target_domain").alias("domain_name")))
+    rels = build_relationships(valid, inputs.redirects, scounts_targets,
                                processed_domains, cfg)
     # nodes_batch and rels only share the extract/gated parquet — run
     # their materializations as concurrent Spark jobs
@@ -397,7 +412,7 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     # the new-row count rides the new_pending WRITE as an observed
     # metric (was a separate count job over the re-read parquet)
     obs_p = Observation()
-    new_pending = merge_discoveries(frontier, discoveries, scounts,
+    new_pending = merge_discoveries(frontier, discoveries, scounts_targets,
                                     processed_domains, cfg, next_seq,
                                     iteration, frontier_probe) \
         .observe(obs_p, F.count(F.lit(1)).alias("n"))
