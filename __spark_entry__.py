@@ -245,6 +245,48 @@ def q_asn_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                       asn_description_from_org(org).alias("asn_description"))
 
 
+def _enrich_probe_batch(spark: SparkSession):
+    """Probe batch for the S6/S7 oracles: every dns-fixture domain plus
+    five domains that exist in NO dimension table, so the missing-row
+    fallbacks (ssl_valid=false, null geo chain) are exercised."""
+    dns = _fx(spark, "dns")
+    doms = dns.select("domain").unionByName(
+        spark.range(5).select(
+            F.concat(F.lit("missing-"), F.col("id"),
+                     F.lit(".example")).alias("domain")))
+    return (doms.select(F.col("domain").alias("domain_name"))
+            .withColumn("batch_rank",
+                        F.row_number().over(Window.orderBy("domain_name"))))
+
+
+def _enrich_probe(spark: SparkSession) -> DataFrame:
+    from map_the_net_crawler_spark import schemas as _S
+    from map_the_net_crawler_spark.operators.enrich import enrich_batch
+    return enrich_batch(_enrich_probe_batch(spark), _fx(spark, "whois"),
+                        _fx(spark, "dns"), _fx(spark, "ssl"),
+                        _fx(spark, "geo"),
+                        spark.createDataFrame([], _S.NODES))
+
+
+def q_ssl_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 SSL dimension join (domain_collector.py:816-841): missing row
+    == failed handshake → ssl_valid coalesces to false, ssl_expiry stays
+    null — runs the REAL enrich_batch operator on a probe batch."""
+    return _enrich_probe(spark).select("domain_name", "ssl_valid",
+                                       "ssl_expiry")
+
+
+def q_geo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 geolocation chain (domain_collector.py:843-883): domain → dns
+    ip_address → geo(lat/lon/country); a domain with no dns row yields
+    the all-null chain — runs the REAL enrich_batch operator."""
+    return _enrich_probe(spark).select(
+        "domain_name", "ip_address",
+        F.round(F.col("latitude").cast("double"), 6).alias("latitude"),
+        F.round(F.col("longitude").cast("double"), 6).alias("longitude"),
+        "country")
+
+
 def q_dns_parent_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 parent-NS fallback via self-join (domain_collector.py:756-770)."""
     dns = _fx(spark, "dns")
@@ -818,6 +860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_whois_dates": q_whois_dates,
         "q_whois_text_extract": q_whois_text_extract,
         "q_asn_parse": q_asn_parse,
+        "q_ssl_join": q_ssl_join,
+        "q_geo_join": q_geo_join,
         "q_dns_parent_fallback": q_dns_parent_fallback,
         "q_redirect_classify": q_redirect_classify,
         "q_per_page_caps": q_per_page_caps,
@@ -1473,6 +1517,33 @@ def oracle_sql() -> dict[str, str]:
                        try_strptime(expiry_date_raw, '%d-%b-%Y'))::date AS expiry_date,
               registrar
             FROM read_parquet('{_FIX}/whois.parquet')
+        """,
+        "q_ssl_join": f"""
+            WITH doms AS (
+              SELECT domain FROM read_parquet('{_FIX}/dns.parquet')
+              UNION ALL
+              SELECT 'missing-' || i || '.example' FROM range(5) t(i))
+            SELECT d.domain AS domain_name,
+              coalesce(s.ssl_valid, false) AS ssl_valid,
+              s.ssl_expiry
+            FROM doms d
+            LEFT JOIN read_parquet('{_FIX}/ssl.parquet') s
+              ON d.domain = s.domain
+        """,
+        "q_geo_join": f"""
+            WITH doms AS (
+              SELECT domain FROM read_parquet('{_FIX}/dns.parquet')
+              UNION ALL
+              SELECT 'missing-' || i || '.example' FROM range(5) t(i))
+            SELECT d.domain AS domain_name, n.ip_address,
+              round(g.latitude::double, 6) AS latitude,
+              round(g.longitude::double, 6) AS longitude,
+              g.country
+            FROM doms d
+            LEFT JOIN read_parquet('{_FIX}/dns.parquet') n
+              ON d.domain = n.domain
+            LEFT JOIN read_parquet('{_FIX}/geo.parquet') g
+              ON n.ip_address = g.ip_address
         """,
         "q_dns_parent_fallback": f"""
             WITH d AS (

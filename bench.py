@@ -122,8 +122,8 @@ def bench_crawl(spark, corpus_dir: str, timed_iterations: int = 2):
         total_urls += r.claimed
         total_s += dt
         merge_s += sum((r.timings or {}).get(k, 0.0) for k in
-                       ("new_pending_write", "frontier_write",
-                        "tables_commit"))
+                       ("new_pending_write", "sketch_commit",
+                        "touched_buckets", "tables_commit"))
         iters.append({"iteration": i, "claimed": r.claimed,
                       "processed": r.processed, "new_urls": r.new_urls,
                       "sec": round(dt, 2), "timings": r.timings})
@@ -145,6 +145,146 @@ def timed(fn):
     t0 = time.time()
     n = fn()
     return round(time.time() - t0, 2), n
+
+
+def bench_canary(spark, sf_dir: str) -> float:
+    """Fixed-work canary (BENCH.md noise protocol, promoted into the
+    harness per VERDICT r3 item 10): the same minhash job, unchanged
+    across rounds, run before AND after the bench.  If the two readings
+    disagree wildly, or sit far above the documented quiet-host value
+    (BENCH.md), the run was noise-contaminated and should be re-taken —
+    the artifact carries its own adjudication."""
+    from pyspark.sql import functions as F
+
+    from map_the_net_crawler_spark.operators.dedup import minhash_lsh_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter(F.col("doc_id") < 2000)
+    sec, _ = timed(lambda: minhash_lsh_pairs(
+        docs, n_hashes=32, bands=8, shingle_n=3,
+        jaccard_threshold=0.5).count())
+    return sec
+
+
+def bench_crawl_politeness(spark, corpus_dir: str, budget: int = 8,
+                           salt_buckets: int = 16) -> dict:
+    """Politeness-budgeted crawl iteration (VERDICT r3 item 5): the
+    claim caps URLs per registrable domain per iteration (the
+    reference's request_delay re-expressed as cardinality) with the
+    salted sub-quota windows, inside a FULL iteration — not just the
+    claim stage the skew bench isolates."""
+    from map_the_net_crawler_spark import schemas as S
+    from map_the_net_crawler_spark.config import CrawlConfig
+    from map_the_net_crawler_spark.plans.crawl import init_run
+    from map_the_net_crawler_spark.plans.iteration import (CrawlInputs,
+                                                           run_iteration)
+    from map_the_net_crawler_spark.storage import TableIO
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    inputs = CrawlInputs(
+        pages=spark.read.parquet(f"{corpus_dir}/pages.parquet"),
+        robots=spark.read.parquet(f"{corpus_dir}/robots.parquet"),
+        redirects=spark.read.schema(S.REDIRECTS).parquet(
+            f"{corpus_dir}/redirects.parquet"),
+        whois=spark.read.parquet(f"{corpus_dir}/whois.parquet"),
+        dns=spark.read.parquet(f"{corpus_dir}/dns.parquet"),
+        ssl=spark.read.parquet(f"{corpus_dir}/ssl.parquet"),
+        geo=spark.read.parquet(f"{corpus_dir}/geo.parquet"))
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    seeds = pages.select(
+        F.col("url"),
+        F.regexp_replace("url", "^http://", "").alias("domain_name"),
+        F.lit(None).cast("string").alias("source_domain"),
+        F.lit(1).alias("priority"),
+        F.lit("pending").alias("status"),
+        (F.row_number().over(Window.orderBy("url")) - 1)
+        .cast("long").alias("discovery_seq"),
+        F.col("warc_ts").alias("discovery_ts"),
+        F.lit(0).alias("depth"),
+        F.lit(None).cast("string").alias("error_message"),
+        F.lit(None).cast("int").alias("processed_iteration"))
+    cfg = CrawlConfig(max_items=1_000_000)
+    run_dir = tempfile.mkdtemp(prefix="mtn_bench_pol_")
+    tio = TableIO(run_dir, spark)
+    next_seq = init_run(spark, tio, seeds)
+    t0 = time.time()
+    r = run_iteration(spark, tio, inputs, cfg, 1, next_seq,
+                      politeness_budget=budget, salt_buckets=salt_buckets)
+    dt = time.time() - t0
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return {"budget": budget, "salt_buckets": salt_buckets,
+            "claimed": r.claimed, "sec": round(dt, 2),
+            "urls_per_sec": round(r.claimed / dt, 2) if dt else 0.0}
+
+
+def bench_frontier_growth(spark, fillers=(50_000, 500_000)) -> dict:
+    """VERDICT r3 item 1 'done' evidence: with bucketed incremental
+    commits (buckets sized ∝ corpus, Iceberg-style constant bucket
+    size), sec/iteration must stay roughly FLAT as the pending frontier
+    grows 10× — the old full-rewrite layout scaled with the corpus.
+    Filler rows are priority-0 (never claimed), so every run does the
+    same batch work over a 10×-different state size; timed at iteration
+    2+ (steady state: sketch reuse + touched-bucket merge)."""
+    from map_the_net_crawler_spark import schemas as S
+    from map_the_net_crawler_spark.config import CrawlConfig
+    from map_the_net_crawler_spark.operators.frontier import \
+        DISCOVERY_TS_BASE
+    from map_the_net_crawler_spark.plans.crawl import init_run
+    from map_the_net_crawler_spark.plans.iteration import (CrawlInputs,
+                                                           run_iteration)
+    from map_the_net_crawler_spark.storage import TableIO
+    from pyspark.sql import functions as F
+
+    corpus = bench_corpus(0.006)   # 300-domain fixture; batch work fixed
+    inputs = CrawlInputs(
+        pages=spark.read.parquet(f"{corpus}/pages.parquet"),
+        robots=spark.read.parquet(f"{corpus}/robots.parquet"),
+        redirects=spark.read.schema(S.REDIRECTS).parquet(
+            f"{corpus}/redirects.parquet"),
+        whois=spark.read.parquet(f"{corpus}/whois.parquet"),
+        dns=spark.read.parquet(f"{corpus}/dns.parquet"),
+        ssl=spark.read.parquet(f"{corpus}/ssl.parquet"),
+        geo=spark.read.parquet(f"{corpus}/geo.parquet"))
+    seeds_real = spark.read.parquet(f"{corpus}/frontier_seed.parquet")
+    out = {}
+    for n_filler in fillers:
+        max_seq = seeds_real.agg(F.max("discovery_seq")).collect()[0][0]
+        filler = spark.range(n_filler).select(
+            F.concat(F.lit("http://filler-"), F.col("id"),
+                     F.lit(".zz")).alias("url"),
+            F.concat(F.lit("filler-"), F.col("id"),
+                     F.lit(".zz")).alias("domain_name"),
+            F.lit(None).cast("string").alias("source_domain"),
+            F.lit(0).alias("priority"),
+            F.lit("pending").alias("status"),
+            (F.col("id") + max_seq + 1).alias("discovery_seq"),
+            F.lit(DISCOVERY_TS_BASE.replace(tzinfo=None))
+            .cast("timestamp").alias("discovery_ts"),
+            F.lit(0).alias("depth"),
+            F.lit(None).cast("string").alias("error_message"),
+            F.lit(None).cast("int").alias("processed_iteration"))
+        seeds = seeds_real.unionByName(
+            filler.select(*[f.name for f in S.FRONTIER.fields]))
+        run_dir = tempfile.mkdtemp(prefix=f"mtn_bench_fg_{n_filler}_")
+        # Iceberg-style sizing: bucket count ∝ corpus, bucket size const
+        tio = TableIO(run_dir, spark,
+                      num_buckets=max(64, n_filler // 1000))
+        cfg = CrawlConfig(max_items=1_000_000)
+        next_seq = init_run(spark, tio, seeds)
+        r = run_iteration(spark, tio, inputs, cfg, 1, next_seq)  # warm
+        secs = []
+        for i in (2, 3):
+            t0 = time.time()
+            r = run_iteration(spark, tio, inputs, cfg, i, r.next_seq)
+            secs.append(round(time.time() - t0, 2))
+        shutil.rmtree(run_dir, ignore_errors=True)
+        out[f"pending_{n_filler}"] = {"sec_per_iteration": min(secs),
+                                      "all_sec": secs}
+    ks = [f"pending_{n}" for n in fillers]
+    a, b = out[ks[0]]["sec_per_iteration"], out[ks[-1]]["sec_per_iteration"]
+    out["growth_ratio"] = round(b / a, 2) if a else None
+    out["frontier_growth_factor"] = round(fillers[-1] / fillers[0], 1)
+    return out
 
 
 def bench_membership(spark, n_frontier: int = 500_000,
@@ -305,6 +445,7 @@ def main():
 
     spark = make_spark(CPUS)
     t0 = time.time()
+    canary_pre = bench_canary(spark, SF_DIR)
     crawl = bench_crawl(spark, corpus)
     queries = {"crawl_iteration": crawl["sec_per_iteration"]}
     queries.update(bench_ops(spark, SF_DIR))
@@ -314,6 +455,11 @@ def main():
         membership["sharded_bloom_anti_join_sec"]
     skew = bench_skew(spark)
     queries["claim_hub_skew_salted"] = skew["claim_salt16_sec"]
+    politeness = bench_crawl_politeness(spark, corpus)
+    queries["crawl_iteration_politeness"] = politeness["sec"]
+    growth = bench_frontier_growth(spark)
+    queries["frontier_growth_ratio_10x"] = growth["growth_ratio"]
+    canary_post = bench_canary(spark, SF_DIR)
     spark.stop()
 
     result["value"] = round(time.time() - t0, 2)
@@ -323,6 +469,13 @@ def main():
                         "frontier_merge_sec_per_iteration", "urls_total")}
     result["membership"] = membership
     result["skew"] = skew
+    result["politeness_crawl"] = politeness
+    result["frontier_growth"] = growth
+    # noise self-adjudication (BENCH.md protocol): identical fixed work
+    # before/after — big disagreement or readings far above the quiet
+    # value documented in BENCH.md mean the run is contaminated
+    result["canary_sec_pre"] = canary_pre
+    result["canary_sec_post"] = canary_post
 
     if os.environ.get("MTN_BENCH_SCALING") == "1":
         # same job, same input, two cluster sizes (N and 4N cores) — the

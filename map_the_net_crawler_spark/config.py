@@ -49,6 +49,21 @@ class CrawlConfig:
     bloom_shard_parts: int = 32
     cuckoo_route_parts: int = 32
     shuffle_partitions: int = 32
+    # materialize the filtered link rows only above this many extracted
+    # link rows (build_relationships references the subtree ~4×, so big
+    # batches pay one write to avoid 4 recomputes; small batches skip
+    # the write job entirely).  NOTE: keys off the PRE-filter extracted
+    # link count (the Observation the extract write already carries) —
+    # a batch whose links are mostly filtered out may still snapshot.
+    valid_links_snapshot_min_rows: int = 20_000
+    # snapshot retention: keep this many trailing versions per state
+    # table/bucket (plus the latest one at-or-before the window start so
+    # reads at any retained version still resolve), pruned at commit.
+    # 0 = keep everything (full time travel; disk grows with
+    # iterations).  The state LAYOUT (bucketed vs snapshot) is a
+    # TableIO constructor arg — it's a storage property of the run
+    # directory, not of the crawl semantics.
+    snapshot_retain: int = 0
 
     @property
     def max_internal_links(self) -> int:

@@ -72,6 +72,9 @@ def sniff_media(b: bytes) -> dict | None:
                 i += 1
                 continue
             marker = b[i + 1]
+            if marker == 0xFF:  # fill-byte padding before a marker is legal
+                i += 1
+                continue
             if marker in _JPEG_SOF:
                 h, w = struct.unpack(">HH", b[i + 5:i + 9])
                 return {"format": "jpeg", "width": w, "height": h,
@@ -121,28 +124,155 @@ def _stub_features(payload: bytes, dim: int) -> np.ndarray:
     return (raw.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
 
 
-def _pixel_features(payload: bytes, dim: int) -> np.ndarray | None:
-    """Real pixel statistics via Pillow when available (per-band
-    grayscale histogram, L1-normalized, truncated/padded to dim)."""
-    if _PILImage is None:
+def _png_pixels(b: bytes) -> np.ndarray | None:
+    """Pure-stdlib PNG pixel decode (zlib inflate + scanline unfilter).
+
+    Supports the common non-interlaced 8-bit-depth layouts — gray (0),
+    RGB (2), palette (3), gray+alpha (4), RGBA (6) — which covers every
+    PNG the engine synthesizes and the vast bulk of web PNGs.  Returns
+    an HxWx3 uint8 RGB array, or None for unsupported variants
+    (interlaced / 16-bit), which fall back to the sha256 stub."""
+    import zlib
+    if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n":
         return None
-    import io
-    with _PILImage.open(io.BytesIO(payload)) as im:  # pragma: no cover
-        g = im.convert("L")
-        hist = np.asarray(g.histogram(), dtype=np.float64)
+    w, h = struct.unpack(">II", b[16:24])
+    depth, ctype, _comp, _filt, interlace = struct.unpack("BBBBB", b[24:29])
+    if depth != 8 or interlace != 0 or ctype not in (0, 2, 3, 4, 6):
+        return None
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    idat, palette, i = [], None, 8
+    while i + 8 <= len(b):
+        clen = struct.unpack(">I", b[i:i + 4])[0]
+        cid = b[i + 4:i + 8]
+        data = b[i + 8:i + 8 + clen]
+        if cid == b"IDAT":
+            idat.append(data)
+        elif cid == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif cid == b"IEND":
+            break
+        i += 12 + clen
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.empty((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8,
+                             count=stride, offset=pos + 1).copy()
+        pos += stride + 1
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up
+            line = (line.astype(np.int32) + prev).astype(np.uint8)
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need a scan
+            li = line.astype(np.int32)
+            pv = prev.astype(np.int32)
+            for x in range(stride):
+                a = li[x - channels] if x >= channels else 0
+                bb = pv[x]
+                if ftype == 1:
+                    li[x] = (li[x] + a) & 0xFF
+                elif ftype == 3:
+                    li[x] = (li[x] + (a + bb) // 2) & 0xFF
+                else:
+                    c = pv[x - channels] if x >= channels else 0
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                    li[x] = (li[x] + pred) & 0xFF
+            line = li.astype(np.uint8)
+        else:
+            return None
+        out[y] = line
+    px = out.reshape(h, w, channels)
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 2:
+        return px
+    if ctype == 3:
+        if palette is None:
+            return None
+        return palette[px[:, :, 0]]
+    if ctype == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # RGBA -> RGB (alpha dropped)
+
+
+def _bmp_pixels(b: bytes) -> np.ndarray | None:
+    """Pure-stdlib BMP pixel decode: uncompressed 24-bit BI_RGB only
+    (the classic Windows DIB layout).  Returns HxWx3 uint8 RGB."""
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    offset = struct.unpack("<I", b[10:14])[0]
+    w, h = struct.unpack("<ii", b[18:26])
+    bpp, comp = struct.unpack("<HI", b[28:34])
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    flip = h > 0
+    h = abs(h)
+    row = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    if len(b) < offset + row * h:
+        return None
+    px = np.frombuffer(b, dtype=np.uint8, count=row * h, offset=offset)
+    px = px.reshape(h, row)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR->RGB
+    return px[::-1] if flip else px  # bottom-up storage
+
+
+def _luma_hist_features(px: np.ndarray, dim: int) -> np.ndarray:
+    """ITU-R 601-2 luma histogram, L1-normalized, binned to dim — the
+    same feature definition the Pillow tier computes (convert('L') uses
+    the identical integer luma transform)."""
+    rgb = px.astype(np.int32)
+    luma = (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114) // 1000
+    hist = np.bincount(luma.ravel(), minlength=256).astype(np.float64)
     hist = hist / max(hist.sum(), 1.0)
     bins = np.array_split(hist, dim)
-    return np.array([b.sum() for b in bins], dtype=np.float32)
+    return np.array([x.sum() for x in bins], dtype=np.float32)
+
+
+def _pixel_features(payload: bytes, dim: int) -> np.ndarray | None:
+    """Real pixel statistics (luma histogram, L1-normalized, binned to
+    dim).  Decoder pick: Pillow when installed (any format); otherwise
+    the pure-stdlib PNG/BMP decoders above — so the pixel tier runs for
+    real in bare containers too.  None => caller falls back to the
+    sha256 stub (e.g. JPEG/GIF without Pillow: entropy coding is out of
+    scope for a stdlib decoder)."""
+    if _PILImage is not None:  # pragma: no cover - container has no Pillow
+        import io
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            g = im.convert("L")
+            hist = np.asarray(g.histogram(), dtype=np.float64)
+        hist = hist / max(hist.sum(), 1.0)
+        bins = np.array_split(hist, dim)
+        return np.array([x.sum() for x in bins], dtype=np.float32)
+    px = _png_pixels(payload)
+    if px is None:
+        px = _bmp_pixels(payload)
+    if px is None:
+        return None
+    return _luma_hist_features(px, dim)
 
 
 def _decode_one(payload: bytes, media_type: str, dim: int):
     """Decode boundary for one payload: header sniff (always real) +
-    feature extraction (pixel stats when Pillow exists, sha256 stub
-    otherwise).  Returns (info|None, features)."""
+    feature extraction (pixel stats when a decoder handles the format,
+    sha256 stub otherwise).  Returns (info|None, features).
+
+    Pixel decoding of untrusted crawl bytes can raise anything (corrupt
+    body behind a valid magic: zlib errors, Pillow UnidentifiedImageError
+    / DecompressionBombError / OSError, shape errors) — any such failure
+    degrades to the stub features rather than killing the Spark task."""
     info = sniff_media(payload)
     feats = None
     if info is not None and info["format"] in ("png", "jpeg", "gif", "bmp"):
-        feats = _pixel_features(payload, dim)
+        try:
+            feats = _pixel_features(payload, dim)
+        except Exception:
+            feats = None
     if feats is None:
         feats = _stub_features(payload, dim)
     return info, feats

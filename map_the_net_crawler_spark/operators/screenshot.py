@@ -59,15 +59,31 @@ def screenshot_sink(nodes: DataFrame, out_dir: str,
     ``nodes`` needs a ``domain_name`` column.  Files land at
     ``out_dir/<domain>.png``; the manifest row re-sniffs the written
     bytes (functions/multimodal.sniff_media) so a corrupt render shows
-    up as ok=false rather than a silent bad file."""
+    up as ok=false rather than a silent bad file.
+
+    ``out_dir`` must be SHARED storage (object store / NFS) on a
+    multi-node cluster — executors write the files, so manifest paths
+    are only resolvable off-executor when the directory is shared.
+    Domain names containing a path separator or ``..`` (which a valid
+    domain never has, but untrusted frontier rows might) are rejected
+    into ok=false manifest rows rather than escaping ``out_dir``."""
     from ..functions.multimodal import sniff_media
     cap = capture or placeholder_png
+
+    def _unsafe(domain: str) -> bool:
+        return (not domain or os.sep in domain
+                or (os.altsep is not None and os.altsep in domain)
+                or "/" in domain or ".." in domain)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         os.makedirs(out_dir, exist_ok=True)
         for pdf in batches:
             out = []
             for domain in pdf["domain_name"]:
+                if _unsafe(domain):
+                    out.append((domain, None, None, None, None, None,
+                                False))
+                    continue
                 path = os.path.join(out_dir, f"{domain}.png")
                 try:
                     blob = cap(domain)

@@ -42,7 +42,7 @@ from ..operators.frontier import (apply_claim_gates, claim_batch,
 from ..operators.links import (build_relationships,
                                discoveries_from_relationships,
                                edges_from_relationships, filter_links)
-from ..operators.seen import seen_counts_pruned, upsert_seen
+from ..operators.seen import seen_counts_pruned
 from ..storage import TableIO
 
 
@@ -92,6 +92,23 @@ class _Timer:
         self.t = now
 
 
+def complete_data_domains(nodes: DataFrame, batch_domains: DataFrame
+                          ) -> DataFrame:
+    """F13 complete-data short-circuit key set (database.py:663-687):
+    domains whose node already has title+description+ip skip the
+    metadata update.  PRUNED to the batch's domain set BEFORE being
+    broadcast: the global complete set grows with the whole crawl and
+    would eventually be unbroadcastable, while only batch keys can ever
+    match the downstream anti-join (plan-pinned by tests/test_plans.py::
+    TestBoundedBroadcasts)."""
+    return (nodes.filter(F.col("title").isNotNull()
+                         & F.col("description").isNotNull()
+                         & F.col("ip_address").isNotNull())
+            .select("domain_name")
+            .join(F.broadcast(batch_domains.select("domain_name").distinct()),
+                  "domain_name", "left_semi"))
+
+
 def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
                   cfg: CrawlConfig, iteration: int, next_seq: int,
                   politeness_budget: int = 0,
@@ -104,13 +121,47 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     frontier = tio.read("frontier", S.FRONTIER, version=base)
     seen = tio.read("seen", S.SEEN, version=base)
     nodes = tio.read("nodes", S.NODES, version=base)
-    edges = tio.read("edges", S.EDGES, version=base)
+    # edges needs no base read: its delta is merged incrementally inside
+    # TableIO.merge_state (bucketed: only the touched buckets are read)
 
     # ---- claim + gates, materialized as ONE snapshot: every downstream
     # stage (fetch, nodes, links, seen, frontier, metrics) re-reads this
     # ≤k-row parquet instead of re-executing the claim top-k, robots UDF
     # and gate windows per action ---------------------------------------
     claimed = claim_batch(frontier, cfg, politeness_budget, salt_buckets)
+
+    # ---- bucket-pruned state reads (the at-scale read path) ------------
+    # When the bucketed layout runs with a scale-sized bucket count
+    # (>= 64 — the Iceberg-style sizing where bucket count ∝ corpus),
+    # every state-table read whose join keys are batch-bounded opens
+    # ONLY the owning buckets: seen for the quota gates (claim domains),
+    # nodes for enrich/complete (claim domains + registrable parents).
+    # Bit-identical by construction — a key can only match rows in its
+    # own bucket.  Below the threshold (sandbox default 32) the extra
+    # tiny collect costs more than the full scans it saves, so the
+    # full-table reads stay.
+    prune_reads = tio._is_bucketed("frontier") and tio.num_buckets >= 64
+    seen_gate_view, nodes_batch_view = seen, nodes
+    if prune_reads:
+        from ..operators.enrich import _naive_main
+        from ..storage import bucket_of
+        nb = tio.num_buckets
+        # snapshot the bare claim once so the bucket collect below and
+        # the gates share one claim execution
+        tio.write("claimed", claimed, iteration)
+        claimed = tio.read("claimed", version=iteration)
+        drows = (claimed.select("domain_name").distinct()
+                 .select(bucket_of("domain_name", nb).alias("b"),
+                         bucket_of(_naive_main(F.col("domain_name")), nb)
+                         .alias("pb")).collect())
+        seen_gate_view = tio.read_state(
+            "seen", version=base, schema=S.SEEN,
+            buckets=sorted({r["b"] for r in drows}))
+        nodes_batch_view = tio.read_state(
+            "nodes", version=base, schema=S.NODES,
+            buckets=sorted({r["b"] for r in drows}
+                           | {r["pb"] for r in drows}))
+
     robots_udf = make_robots_udf(cfg.http_user_agent)
     domains = claimed.select("domain_name").distinct()
     if cfg.respect_robots_txt:
@@ -128,7 +179,7 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     # the broadcast side stays batch-sized at any corpus size (a global
     # seen_counts aggregate grows with the crawl and would eventually be
     # unbroadcastable — see seen.seen_counts_pruned)
-    scounts_claim = seen_counts_pruned(seen, domains)
+    scounts_claim = seen_counts_pruned(seen_gate_view, domains)
 
     # claimed/skipped counts ride the gated WRITE as observed metrics —
     # zero extra jobs (was a separate groupBy action per iteration)
@@ -220,7 +271,7 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
 
     if inputs.enrich_enabled:
         meta = enrich_batch(meta, inputs.whois, inputs.dns, inputs.ssl,
-                            inputs.geo, nodes)
+                            inputs.geo, nodes_batch_view)
     else:
         meta = (meta
                 .withColumn("created_date", F.lit(None).cast("date"))
@@ -237,17 +288,8 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
                 .withColumn("latitude", F.lit(None).cast("decimal(10,8)"))
                 .withColumn("longitude", F.lit(None).cast("decimal(11,8)")))
 
-    # F13 complete-data short-circuit (database.py:663-687): domains whose
-    # node already has title+description+ip skip the metadata update.
-    # Pruned to this batch's domains before broadcasting: the complete
-    # set grows with the whole crawl and would eventually be
-    # unbroadcastable; only batch keys can match the anti-join anyway.
-    complete = (nodes.filter(F.col("title").isNotNull()
-                             & F.col("description").isNotNull()
-                             & F.col("ip_address").isNotNull())
-                .select("domain_name")
-                .join(F.broadcast(meta.select("domain_name").distinct()),
-                      "domain_name", "left_semi"))
+    # F13 complete-data short-circuit, batch-pruned before broadcast
+    complete = complete_data_domains(nodes_batch_view, meta)
     full_updates = (meta.join(F.broadcast(complete), "domain_name", "left_anti")
                     .select(
                         F.xxhash64("domain_name").alias("domain_id"),
@@ -279,7 +321,7 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     # the (already materialized) extract parquet is cheaper than a write
     # job, so skip the snapshot below the threshold (fixed-cost squeeze)
     valid = filter_links(link_rows)
-    if n_links > 20_000:
+    if n_links > cfg.valid_links_snapshot_min_rows:
         tio.write("valid_links", valid, iteration)
         tmr.lap("valid_links_write")
         valid = tio.read("valid_links", version=iteration)
@@ -287,9 +329,20 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
         tmr.lap("valid_links_skip")
     # history counts for the quota gates on TARGET domains, pruned to
     # this iteration's discovered-target set (bounded by batch × caps —
-    # the discovery/enqueue gates join on exactly these keys)
+    # the discovery/enqueue gates join on exactly these keys).  On the
+    # at-scale read path the seen SCAN side is additionally
+    # bucket-pruned to the targets' own buckets.
+    seen_tgt_view = seen
+    if prune_reads:
+        from ..storage import bucket_of
+        tgt_b = sorted({r["b"] for r in valid.select(
+            bucket_of("target_domain", tio.num_buckets).alias("b"))
+            .distinct().collect()})
+        seen_tgt_view = tio.read_state("seen", version=base, schema=S.SEEN,
+                                       buckets=tgt_b)
     scounts_targets = seen_counts_pruned(
-        seen, valid.select(F.col("target_domain").alias("domain_name")))
+        seen_tgt_view,
+        valid.select(F.col("target_domain").alias("domain_name")))
     rels = build_relationships(valid, inputs.redirects, scounts_targets,
                                processed_domains, cfg)
     # nodes_batch and rels only share the extract/gated parquet — run
@@ -306,14 +359,69 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     edges_batch = edges_from_relationships(rels, iteration)
     discoveries = discoveries_from_relationships(rels)
 
+    # ---- touched buckets (bucketed layout): cheap SUPERSETS of each
+    # delta's key set, all read from already-materialized batch-sized
+    # parquets (gated / nodes_batch / rels), resolved in ONE tiny Spark
+    # action.  frontier's set uses rels.clean_url ⊇ new_pending urls (a
+    # superset bucket merely rewrites identical content; correctness
+    # needs only touched ⊇ delta buckets).  The same action collects the
+    # candidate-url buckets for the at-scale pruned frontier read below.
+    touched: dict[str, list[int]] = {}
+    if tio._is_bucketed("frontier"):
+        from functools import reduce
+
+        from ..storage import bucket_of
+        nb = tio.num_buckets
+        node_doms = (full_updates.select("domain_name")
+                     .unionByName(rels.select(F.col("target_domain")
+                                              .alias("domain_name")))
+                     .unionByName(rels.filter(F.col("redirect_final_domain")
+                                              .isNotNull())
+                                  .select(F.col("redirect_final_domain")
+                                          .alias("domain_name"))))
+        key_sets = [
+            gated.select(F.lit("frontier").alias("t"),
+                         bucket_of("url", nb).alias("b")),
+            rels.select(F.lit("frontier").alias("t"),
+                        bucket_of("clean_url", nb).alias("b")),
+            rels.select(F.lit("cand").alias("t"),
+                        bucket_of("clean_url", nb).alias("b")),
+            gated.select(F.lit("seen").alias("t"),
+                         bucket_of("domain_name", nb).alias("b")),
+            node_doms.select(F.lit("nodes").alias("t"),
+                             bucket_of("domain_name", nb).alias("b")),
+            rels.select(F.lit("edges").alias("t"),
+                        bucket_of("domain_name", nb).alias("b")),
+        ]
+        for r in reduce(DataFrame.unionByName, key_sets).distinct().collect():
+            touched.setdefault(r["t"], []).append(r["b"])
+        for t in ("frontier", "seen", "nodes", "edges", "cand"):
+            touched.setdefault(t, [])
+    tmr.lap("touched_buckets")
+
+    # at-scale pruned views keyed by this iteration's touched sets:
+    # nodes for the minimal-row anti-join (target + redirect-final
+    # buckets ⊆ touched["nodes"]), frontier keys for the discovery
+    # anti-join (candidate-url buckets)
+    nodes_touch_view, frontier_keys_view = nodes, frontier
+    if prune_reads:
+        nodes_touch_view = tio.read_state("nodes", version=base,
+                                          schema=S.NODES,
+                                          buckets=touched["nodes"])
+        frontier_keys_view = tio.read_state("frontier", version=base,
+                                            schema=S.FRONTIER,
+                                            buckets=touched["cand"])
+
     # ---- minimal node rows for targets + redirect finals (J2) ----------
-    touched = (rels.select(F.col("target_domain").alias("domain_name"))
-               .unionByName(rels.filter(F.col("redirect_final_domain").isNotNull())
-                            .select(F.col("redirect_final_domain")
-                                    .alias("domain_name")))
-               .distinct())
-    minimal = (touched
-               .join(nodes.select("domain_name"), "domain_name", "left_anti")
+    touched_doms = (rels.select(F.col("target_domain").alias("domain_name"))
+                    .unionByName(rels.filter(F.col("redirect_final_domain")
+                                             .isNotNull())
+                                 .select(F.col("redirect_final_domain")
+                                         .alias("domain_name")))
+                    .distinct())
+    minimal = (touched_doms
+               .join(nodes_touch_view.select("domain_name"), "domain_name",
+                     "left_anti")
                .join(full_updates.select("domain_name"), "domain_name", "left_anti")
                .select(F.xxhash64("domain_name").alias("domain_id"),
                        "domain_name",
@@ -326,19 +434,16 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
                                    "category", "tags")],
                        F.lit(iteration).alias("updated_iteration")))
 
-    nodes_next = (nodes
-                  .join(full_updates.select("domain_name"), "domain_name",
-                        "left_anti")
-                  .unionByName(full_updates)
-                  .unionByName(minimal))
+    # nodes delta: full metadata updates + minimal rows for new targets;
+    # minimal keys are disjoint from full_updates and absent from the
+    # base table by construction, so the merge_state upsert (base ANTI
+    # delta-keys UNION delta) reproduces the old three-way union exactly
+    nodes_delta = full_updates.unionByName(minimal)
 
     # ---- edges merge (S10): last-writer-wins attrs per (src,dst,type) --
-    edges_next = (edges
-                  .join(edges_batch.select("src_domain", "dst_domain",
-                                           "relationship_type"),
-                        ["src_domain", "dst_domain", "relationship_type"],
-                        "left_anti")
-                  .unionByName(edges_batch))
+    # delta-only: merge_state replaces matching (src,dst,type) rows and
+    # inserts the rest — the reference's ON DUPLICATE KEY UPDATE
+    edges_delta = edges_batch
 
     # ---- seen upsert (S12) ---------------------------------------------
     # links_found == len(relationships) (record_url_processing :1291 and
@@ -363,20 +468,33 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
                     .otherwise(F.lit("failed")).alias("status"),
                     F.coalesce(F.col("links_found"), F.lit(0)).alias("links_found"),
                     F.lit(iteration).alias("processed_iteration")))
-    seen_next = upsert_seen(seen, seen_new)
+    # seen delta is unique on url (one row per batch domain), so the
+    # merge_state upsert == the windowed upsert_seen last-write-wins
+    seen_delta = seen_new
 
     # ---- frontier update ------------------------------------------------
     # membership sketch over the frontier url set: provably-new
     # discoveries skip the anti-join shuffle (SURVEY.md §4.4; bit-exact
     # by the no-false-negative contract — tests/test_crawl_variants.py).
-    # ``next_seq`` counts every url ever inserted == |frontier|, so the
-    # sketch is sized exactly with zero extra actions; the blob is
-    # snapshotted beside the tables for lineage/resume.
+    #
+    # INCREMENTAL MAINTENANCE (round 4): the sketch committed at
+    # iteration v covers the frontier AT v, so the next iteration reuses
+    # it directly and, after the merge, adds only the batch-bounded
+    # new-URL set — O(batch) per iteration.  A full O(corpus) rebuild
+    # happens only when the frontier outgrows the capacity the sketch
+    # was sized for (built with 2× slack, so rebuilds amortize to one
+    # per frontier doubling), or on mode change / first iteration.
+    # Coverage invariant by induction: base sketch covers frontier@base,
+    # frontier urls only ever grow by new_pending, which sketch_commit
+    # inserts before the blob/shard-table commit.
     frontier_probe = None
+    sketch_commit = None
+    new_sk_meta = None
+    sk_meta = (tio.read_meta() or {}).get("sketch") or {}
     if cfg.membership_sketch in ("bloom", "bloom_sharded"):
         from ..sketches import (BloomSketch, ShardedBloomProbe,
                                 bloom_probe_udf, build_bloom,
-                                build_sharded_blooms)
+                                build_sharded_blooms, update_sharded_blooms)
         expected = max(1024, next_seq)
         m, _k = BloomSketch.params_for(expected, cfg.bloom_fpp)
         bitmap_bytes = (m + 7) // 8
@@ -385,34 +503,83 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
         # rule's 10^10-URL frontier => ~12 GB at 1% fpp) the sketch
         # lives as a route-sharded blob TABLE probed via cogroup — no
         # driver merge, no broadcast, one shard per task.
-        if (cfg.membership_sketch == "bloom_sharded"
-                or bitmap_bytes > cfg.broadcast_sketch_max_bytes):
-            shards = build_sharded_blooms(frontier, "url",
-                                          cfg.bloom_shard_parts,
-                                          expected, cfg.bloom_fpp)
-            # snapshot the shard table (lineage/resume), then probe the
-            # cheap parquet scan rather than re-running the build per
-            # downstream action
-            tio.write("frontier_sketch_shards", shards, iteration)
-            frontier_probe = ShardedBloomProbe(
-                tio.read("frontier_sketch_shards", version=iteration),
-                cfg.bloom_shard_parts)
+        sharded = (cfg.membership_sketch == "bloom_sharded"
+                   or bitmap_bytes > cfg.broadcast_sketch_max_bytes)
+        reuse = (sk_meta.get("version") == base
+                 and sk_meta.get("cap", 0) >= next_seq
+                 and sk_meta.get("mode") == ("sharded" if sharded else "bloom"))
+        if sharded:
+            if reuse:
+                shards = tio.read("frontier_sketch_shards", version=base)
+                cap = int(sk_meta["cap"])
+            else:
+                cap = max(1024, 2 * next_seq)
+                shards = build_sharded_blooms(frontier, "url",
+                                              cfg.bloom_shard_parts,
+                                              cap, cfg.bloom_fpp)
+                # materialize the rebuild so downstream actions probe a
+                # cheap parquet scan rather than re-running the build
+                tio.write("frontier_sketch_build", shards, iteration)
+                shards = tio.read("frontier_sketch_build", version=iteration)
+            frontier_probe = ShardedBloomProbe(shards, cfg.bloom_shard_parts)
+
+            def sketch_commit(new_df, shards=shards, cap=cap):
+                upd = update_sharded_blooms(shards, new_df, "url",
+                                            cfg.bloom_shard_parts,
+                                            cfg.bloom_fpp)
+                tio.write("frontier_sketch_shards", upd, iteration)
+                return {"mode": "sharded", "cap": cap, "version": iteration}
         else:
-            sketch = build_bloom(frontier, "url", expected, cfg.bloom_fpp)
+            if reuse:
+                sketch = BloomSketch.from_bytes(
+                    tio.read_blob("frontier_sketch", version=base))
+                cap = int(sk_meta["cap"])
+            else:
+                cap = max(1024, 2 * next_seq)
+                sketch = build_bloom(frontier, "url", cap, cfg.bloom_fpp)
             frontier_probe = bloom_probe_udf(spark, sketch)
-            tio.write_blob("frontier_sketch", sketch.to_bytes(), iteration)
+
+            def sketch_commit(new_df, sketch=sketch, cap=cap):
+                import numpy as np
+                urls = sorted(r["url"] for r in new_df.select("url").collect())
+                if urls:
+                    sketch.add_batch(np.array(urls, dtype=object))
+                tio.write_blob("frontier_sketch", sketch.to_bytes(),
+                               iteration)
+                return {"mode": "bloom", "cap": cap, "version": iteration}
     elif cfg.membership_sketch == "cuckoo":
-        from ..sketches import build_partitioned_cuckoo, cuckoo_probe_udf
-        pc = build_partitioned_cuckoo(
-            frontier, "url", cfg.cuckoo_route_parts,
-            max(64, (next_seq * 2) // cfg.cuckoo_route_parts))
+        from ..sketches import (PartitionedCuckoo, build_partitioned_cuckoo,
+                                cuckoo_probe_udf)
+        reuse = (sk_meta.get("version") == base
+                 and sk_meta.get("cap", 0) >= next_seq
+                 and sk_meta.get("mode") == "cuckoo")
+        if reuse:
+            pc = PartitionedCuckoo.from_bytes(
+                tio.read_blob("frontier_sketch", version=base))
+            cap = int(sk_meta["cap"])
+        else:
+            cap = max(64 * cfg.cuckoo_route_parts, 2 * next_seq)
+            pc = build_partitioned_cuckoo(
+                frontier, "url", cfg.cuckoo_route_parts,
+                max(64, cap // cfg.cuckoo_route_parts))
         frontier_probe = cuckoo_probe_udf(spark, pc)
-        tio.write_blob("frontier_sketch", pc.to_bytes(), iteration)
+
+        def sketch_commit(new_df, pc=pc, cap=cap):
+            urls = sorted(r["url"] for r in new_df.select("url").collect())
+            if urls:
+                pc.insert_batch(urls)
+            tio.write_blob("frontier_sketch", pc.to_bytes(), iteration)
+            return {"mode": "cuckoo", "cap": cap, "version": iteration}
     tmr.lap("sketch_build")
     # the new-row count rides the new_pending WRITE as an observed
     # metric (was a separate count job over the re-read parquet)
     obs_p = Observation()
-    new_pending = merge_discoveries(frontier, discoveries, scounts_targets,
+    # frontier_keys_view: at scale the anti-join's table side is
+    # bucket-pruned to the candidates' own buckets (bit-identical — a
+    # candidate can only collide inside its bucket); merge_discoveries
+    # uses the frontier ONLY as that url key set
+    new_pending = merge_discoveries(frontier_keys_view, discoveries,
+                                    scounts_targets,
                                     processed_domains, cfg, next_seq,
                                     iteration, frontier_probe) \
         .observe(obs_p, F.count(F.lit(1)).alias("n"))
@@ -421,6 +588,11 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     new_pending = tio.read("new_pending", version=iteration)
     n_new = int(obs_p.get["n"] or 0)
     tmr.lap("new_pending_count")
+    # commit the incrementally-updated sketch: covers frontier@iteration
+    # (= frontier@base ∪ new_pending) so the next iteration reuses it
+    if sketch_commit is not None:
+        new_sk_meta = sketch_commit(new_pending)
+    tmr.lap("sketch_commit")
 
     claimed_updates = gated.select(
         "url", "domain_name", "source_domain", "priority",
@@ -429,10 +601,10 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
         "discovery_seq", "discovery_ts", "depth",
         F.col("gate_reason").alias("error_message"),
         F.lit(iteration).alias("processed_iteration"))
-    frontier_next = (frontier
-                     .join(claimed.select("url"), "url", "left_anti")
-                     .unionByName(claimed_updates)
-                     .unionByName(new_pending))
+    # frontier delta: claimed rows flip status (upsert by url), new
+    # discoveries insert (provably absent from the base — they already
+    # survived the merge_discoveries anti-join)
+    frontier_delta = claimed_updates.unionByName(new_pending)
 
     # ---- metrics (S13/A5/C11) --------------------------------------------
     # one collection_logs row per processed domain (update_collection_log,
@@ -457,26 +629,34 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
                        (F.round((F.lit(1) + n_rels + n_disc) * 0.001, 3))
                        .cast("decimal(10,3)").alias("processing_time"),
                        F.lit("spark-engine").alias("agent_name")))
-    # collection_logs is append-only (INSERT, database.py:570-573): the
-    # snapshot accumulates; at scale this is an append of one iteration
-    # partition, not a rewrite
-    metrics = tio.read("metrics", S.METRICS, version=base) \
-        .unionByName(metrics_new)
+    # collection_logs is append-only (INSERT, database.py:570-573):
+    # committed as ONE immutable per-iteration partition, never a
+    # rewrite of the accumulated log
 
-    # ---- atomic commit: data writes fan out across scheduler threads
-    # (independent Spark jobs), then the meta write is the commit point
+    # ---- atomic commit: incremental MERGE per state table + one metrics
+    # partition append, fanned out across scheduler threads (independent
+    # Spark jobs); the meta write is the single commit point.  Bucketed
+    # layout: each merge reads + rewrites ONLY its touched buckets —
+    # per-iteration I/O scales with the batch, not the corpus.
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=5) as ex:
-        futs = [ex.submit(tio.write, name, df, iteration)
-                for name, df in (("frontier", frontier_next),
-                                 ("seen", seen_next),
-                                 ("nodes", nodes_next),
-                                 ("edges", edges_next),
-                                 ("metrics", metrics))]
+        futs = [ex.submit(tio.merge_state, name, delta, iteration, base,
+                          touched.get(name))
+                for name, delta in (("frontier", frontier_delta),
+                                    ("seen", seen_delta),
+                                    ("nodes", nodes_delta),
+                                    ("edges", edges_delta))]
+        futs.append(ex.submit(tio.append_partition, "metrics", metrics_new,
+                              iteration))
         for f in futs:
             f.result()
     tmr.lap("tables_commit")
-    tio.write_meta({"iteration": iteration, "next_seq": next_seq + n_new})
+    run_meta = {"iteration": iteration, "next_seq": next_seq + n_new}
+    if new_sk_meta is not None:
+        run_meta["sketch"] = new_sk_meta
+    tio.write_meta(run_meta)
+    if cfg.snapshot_retain > 0:
+        tio.prune(cfg.snapshot_retain, iteration)
 
     return IterationResult(iteration, n_claimed, n_proc, n_skip, n_new,
                            next_seq + n_new, tmr.laps)

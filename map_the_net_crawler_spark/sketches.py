@@ -68,9 +68,13 @@ class BloomSketch:
     """Double-hashed Bloom bitmap (Kirsch–Mitzenmacher: position_i =
     h1 + i·h2 mod m), vectorized over numpy arrays of keys."""
 
-    def __init__(self, m_bits: int, k: int, bits: np.ndarray | None = None):
+    def __init__(self, m_bits: int, k: int, bits: np.ndarray | None = None,
+                 cap: int = 0):
         self.m = int(m_bits)
         self.k = int(k)
+        # capacity the bitmap was sized for — lets an incremental caller
+        # decide when accumulated inserts warrant a resize-rebuild
+        self.cap = int(cap)
         self.bits = bits if bits is not None else \
             np.zeros((self.m + 7) // 8, dtype=np.uint8)
 
@@ -83,7 +87,7 @@ class BloomSketch:
 
     @classmethod
     def empty(cls, expected: int, fpp: float) -> "BloomSketch":
-        return cls(*cls.params_for(expected, fpp))
+        return cls(*cls.params_for(expected, fpp), cap=expected)
 
     def _positions(self, keys: np.ndarray) -> np.ndarray:
         h1 = _hash(keys, _KEY1)
@@ -114,7 +118,8 @@ class BloomSketch:
         return self
 
     def to_bytes(self) -> bytes:
-        header = json.dumps({"m": self.m, "k": self.k}).encode()
+        header = json.dumps({"m": self.m, "k": self.k,
+                             "cap": self.cap}).encode()
         return len(header).to_bytes(4, "big") + header + self.bits.tobytes()
 
     @classmethod
@@ -122,7 +127,7 @@ class BloomSketch:
         hlen = int.from_bytes(blob[:4], "big")
         meta = json.loads(blob[4:4 + hlen])
         bits = np.frombuffer(blob[4 + hlen:], dtype=np.uint8).copy()
-        return cls(meta["m"], meta["k"], bits)
+        return cls(meta["m"], meta["k"], bits, cap=meta.get("cap", 0))
 
 
 def build_bloom(df: DataFrame, col: str, expected: int,
@@ -143,7 +148,7 @@ def build_bloom(df: DataFrame, col: str, expected: int,
             yield pd.DataFrame({"blob": [sk.to_bytes()]})
 
     parts = df.select(col).mapInPandas(build, "blob binary").collect()
-    out = BloomSketch(m, k)
+    out = BloomSketch(m, k, cap=expected)
     for row in parts:
         out.merge(BloomSketch.from_bytes(bytes(row["blob"])))
     return out
@@ -296,10 +301,32 @@ class PartitionedCuckoo:
             out[idx] = [f.contains(keys[i]) for i in idx]
         return out
 
+    def insert_batch(self, keys) -> None:
+        """Route-local inserts — the incremental maintenance path (a
+        crawl iteration adds its bounded new-URL set instead of
+        rebuilding from the whole frontier)."""
+        arr = np.array(list(keys), dtype=object)
+        routes = route_of(arr, self.n_parts)
+        for r in np.unique(routes):
+            f = self.filters.get(int(r))
+            if f is None:
+                f = self.filters[int(r)] = CuckooFilter(64)
+            for i in np.flatnonzero(routes == r):
+                f.insert(arr[i])
+
     def delete(self, key) -> bool:
         f = self.filters.get(int(route_of(np.array([key], object),
                                           self.n_parts)[0]))
         return f.delete(key) if f is not None else False
+
+    def delete_batch(self, keys) -> int:
+        """Deletions update only the owning partitions' filters (the
+        UGC-purge path, SURVEY.md §4.4) — returns how many were found."""
+        return sum(1 for k in keys if self.delete(k))
+
+    @property
+    def capacity(self) -> int:
+        return sum(f.n_buckets * f.bucket_size for f in self.filters.values())
 
     def to_bytes(self) -> bytes:
         parts = {str(r): f.to_bytes().hex() for r, f in self.filters.items()}
@@ -378,6 +405,48 @@ def build_sharded_blooms(df: DataFrame, col: str, n_parts: int,
 
     return (df.select(col).withColumn("route", route_udf(F.col(col)))
             .groupBy("route").applyInPandas(build, "route long, blob binary"))
+
+
+def update_sharded_blooms(shards: DataFrame, new_keys: DataFrame, col: str,
+                          n_parts: int, fpp: float = 0.01) -> DataFrame:
+    """Incremental shard-table maintenance — the O(batch) path that
+    replaces a per-iteration O(corpus) rebuild.
+
+    Only the routes owning a new key are cogrouped and rewritten (one
+    task = one touched route's keys + that route's blob, OR-ed executor-
+    side — blobs never touch the driver); untouched shard rows pass
+    through untouched.  A key routing to a shard the original build
+    never created (its route group was empty) gets a fresh
+    appropriately-sized shard.  The no-false-negative contract is
+    preserved by induction: the input table covers the old key set, and
+    every new key is OR-ed into its owning shard."""
+
+    @pandas_udf("long")
+    def route_udf(s: pd.Series) -> pd.Series:
+        return pd.Series(route_of(s.to_numpy(), n_parts))
+
+    routed = (new_keys.select(F.col(col).alias("_key"))
+              .withColumn("route", route_udf(F.col("_key"))))
+    touched = routed.select("route").distinct()
+
+    def upd(bpdf: pd.DataFrame, kpdf: pd.DataFrame) -> pd.DataFrame:
+        if kpdf.empty:
+            return bpdf[["route", "blob"]]
+        if bpdf.empty:
+            sk = BloomSketch.empty(max(1024, 4 * len(kpdf)), fpp)
+            route = int(kpdf["route"].iloc[0])
+        else:
+            sk = BloomSketch.from_bytes(bytes(bpdf["blob"].iloc[0]))
+            route = int(bpdf["route"].iloc[0])
+        sk.add_batch(kpdf["_key"].to_numpy())
+        return pd.DataFrame({"route": [route], "blob": [sk.to_bytes()]})
+
+    updated = (shards.join(F.broadcast(touched), "route", "left_semi")
+               .groupby("route")
+               .cogroup(routed.groupby("route"))
+               .applyInPandas(upd, "route long, blob binary"))
+    untouched = shards.join(F.broadcast(touched), "route", "left_anti")
+    return untouched.unionByName(updated)
 
 
 class ShardedBloomProbe:

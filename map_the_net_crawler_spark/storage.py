@@ -1,13 +1,14 @@
-"""TableIO — Iceberg-style snapshot tables on plain parquet.
+"""TableIO — Iceberg-style tables on plain parquet, with hash-bucketed
+incremental commits for the crawl state tables.
 
 SURVEY.md §1.4/§7.1(M0): the design treats "Iceberg table" as
 "partitioned table with atomic snapshot commit + MERGE".  When an Iceberg
 catalog is configured this would use real ``MERGE INTO``; in the sandbox
-(and any bare-parquet deployment) it uses versioned snapshot directories
-with an atomically-renamed pointer file, which gives the same properties
-the crawl loop needs:
+(and any bare-parquet deployment) it uses versioned directories with an
+atomically-renamed pointer file, which gives the same properties the
+crawl loop needs:
 
-- atomic per-iteration commit: a snapshot either has its pointer updated
+- atomic per-iteration commit: a version either has its pointer updated
   or does not exist for readers (reference analogue: the stuck-'processing'
   recovery machinery in database.py:613-661 becomes unnecessary —
   SURVEY.md §2.9 exactly-once),
@@ -16,26 +17,84 @@ the crawl loop needs:
 - cutting lineage per iteration: each iteration writes + re-reads parquet,
   so the logical plan never grows across the feedback loop
   (SURVEY.md §7.3 hard part 3).
+
+Two physical layouts (VERDICT r3 item 1 — the O(corpus) rewrite fix):
+
+- **snapshot** (rounds ≤3): each version is a complete rewrite of the
+  table.  O(corpus) read+write per iteration — kept for the
+  layout-identity test and for per-iteration scratch tables (gated /
+  extract / rels / …), which are batch-sized by construction.
+- **bucketed** (default): a state table is hash-partitioned into
+  ``num_buckets`` buckets on its bucket key (``pmod(xxhash64(key), B)``
+  — the stand-in for Iceberg's bucket transform).  A commit writes ONLY
+  the buckets the iteration's delta touches (bounded by the batch, not
+  the corpus) under ``<table>/b<K>/v<version>/``, then writes a tiny
+  bucket→version manifest ``<table>/_ptr/v<version>.json`` mapping every
+  bucket to its latest version.  Untouched buckets are carried by
+  manifest reference — per-iteration I/O scales with the batch (this is
+  exactly Iceberg's MERGE INTO + manifest model, re-expressed on bare
+  parquet).  Reads at any version resolve the greatest manifest ≤ that
+  version; bucket-pruned reads (a bounded key set) open only the
+  matching buckets' files.
+
+``metrics`` (collection_logs, append-only per database.py:570-573) uses
+a third trivial layout: one immutable partition dir per iteration
+(``part_v<version>/``), read as the union of partitions — a pure
+append, never a rewrite.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# State-table registry: bucket key (the hash-partition column) and merge
+# key (the upsert identity) per table.  Everything else TableIO touches
+# is per-iteration scratch and stays in the snapshot layout.
+STATE_TABLES: dict[str, dict] = {
+    "frontier": {"bucket_key": "url", "merge_keys": ["url"]},
+    # seen is bucketed by domain so per-domain history counts
+    # (seen_counts_pruned) can bucket-prune their scan; the merge
+    # identity stays the url (database.py:153 UNIQUE(url))
+    "seen": {"bucket_key": "domain_name", "merge_keys": ["url"]},
+    "nodes": {"bucket_key": "domain_name", "merge_keys": ["domain_name"]},
+    "edges": {"bucket_key": "src_domain",
+              "merge_keys": ["src_domain", "dst_domain",
+                             "relationship_type"]},
+}
+APPEND_TABLES = {"metrics"}
+
+
+def bucket_of(key, num_buckets: int) -> Column:
+    """Deterministic bucket id for a key column: pmod(xxhash64(key), B).
+    Must be identical everywhere (writer, reader pruning, tests)."""
+    col = F.col(key) if isinstance(key, str) else key
+    return F.pmod(F.xxhash64(col), F.lit(num_buckets)).cast("int")
 
 
 @dataclass
 class TableIO:
-    """Versioned snapshot store for one crawl run."""
+    """Versioned parquet store for one crawl run.
+
+    ``layout`` picks the write layout for STATE_TABLES ('bucketed' |
+    'snapshot'); reads auto-detect the on-disk layout, so any TableIO
+    can read any run directory.  ``retain`` > 0 prunes versions older
+    than the trailing window at each ``prune()`` call (keeping, per
+    table/bucket, the newest version at-or-before the window start so
+    every retained manifest still resolves)."""
 
     root: str
     spark: SparkSession
+    layout: str = "bucketed"
+    num_buckets: int = 32
 
     def _table_dir(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -44,6 +103,9 @@ class TableIO:
         return os.path.join(self._table_dir(name), "_current")
 
     def current_version(self, name: str) -> int | None:
+        v = self._manifest_version_le(name, None)
+        if v is not None:
+            return v
         try:
             with open(self._pointer_path(name)) as f:
                 return int(json.load(f)["version"])
@@ -53,9 +115,39 @@ class TableIO:
     def snapshot_path(self, name: str, version: int) -> str:
         return os.path.join(self._table_dir(name), f"v{version:06d}")
 
+    # ---- layout detection ------------------------------------------------
+
+    def _is_bucketed(self, name: str) -> bool:
+        return os.path.isdir(os.path.join(self._table_dir(name), "_ptr"))
+
+    def _is_append(self, name: str) -> bool:
+        d = self._table_dir(name)
+        try:
+            return any(e.startswith("part_v") for e in os.listdir(d))
+        except OSError:
+            return False
+
+    # ---- snapshot layout (scratch tables + legacy state layout) ----------
+
     def write(self, name: str, df: DataFrame, version: int,
               partition_by: list[str] | None = None) -> None:
-        """Write a new snapshot and atomically flip the pointer."""
+        """Write ``df`` as the table's content at ``version``.
+
+        Dispatch: state tables under the bucketed layout get a FULL
+        bucketed write (used by seed ingestion / maintenance rewrites);
+        append tables get a partition write; everything else a plain
+        snapshot.  Incremental per-iteration state commits go through
+        ``merge_state`` instead."""
+        if name in APPEND_TABLES:
+            self.append_partition(name, df, version)
+            return
+        if self.layout == "bucketed" and name in STATE_TABLES:
+            self._write_bucketed(name, df, version, full=True)
+            return
+        self._write_snapshot(name, df, version, partition_by)
+
+    def _write_snapshot(self, name: str, df: DataFrame, version: int,
+                        partition_by: list[str] | None = None) -> None:
         path = self.snapshot_path(name, version)
         tmp = path + ".tmp"
         if os.path.exists(tmp):
@@ -74,15 +166,271 @@ class TableIO:
 
     def read(self, name: str, schema: T.StructType | None = None,
              version: int | None = None) -> DataFrame:
-        v = self.current_version(name) if version is None else version
+        """Read the table as of ``version`` (None = latest committed).
+        Auto-detects the on-disk layout."""
+        if self._is_bucketed(name):
+            return self._read_bucketed(name, schema, version)
+        if self._is_append(name):
+            return self._read_append(name, schema, version)
+        v = None
+        if version is None:
+            try:
+                with open(self._pointer_path(name)) as f:
+                    v = int(json.load(f)["version"])
+            except (OSError, ValueError, KeyError):
+                v = None
+        else:
+            v = version if os.path.isdir(self.snapshot_path(name, version)) \
+                else self._snapshot_version_le(name, version)
         if v is None:
             if schema is None:
                 raise FileNotFoundError(f"table {name} has no snapshot and no schema")
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(self.snapshot_path(name, v))
+        r = self.spark.read
+        if schema is not None:  # pin column order across layouts
+            r = r.schema(schema)
+        return r.parquet(self.snapshot_path(name, v))
+
+    def _snapshot_version_le(self, name: str, version: int) -> int | None:
+        d = self._table_dir(name)
+        try:
+            vs = [int(m.group(1)) for e in os.listdir(d)
+                  if (m := re.fullmatch(r"v(\d+)", e))
+                  and os.path.isdir(os.path.join(d, e))]
+        except OSError:
+            return None
+        vs = [v for v in vs if v <= version]
+        return max(vs) if vs else None
 
     def exists(self, name: str) -> bool:
         return self.current_version(name) is not None
+
+    # ---- bucketed layout (state tables: incremental commits) -------------
+
+    def _ptr_dir(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "_ptr")
+
+    def _bucket_dir(self, name: str, bucket: int) -> str:
+        return os.path.join(self._table_dir(name), f"b{bucket:05d}")
+
+    def _manifest_version_le(self, name: str, version: int | None) -> int | None:
+        try:
+            vs = [int(m.group(1)) for e in os.listdir(self._ptr_dir(name))
+                  if (m := re.fullmatch(r"v(\d+)\.json", e))]
+        except OSError:
+            return None
+        if version is not None:
+            vs = [v for v in vs if v <= version]
+        return max(vs) if vs else None
+
+    def _read_manifest(self, name: str, version: int | None) -> dict[int, int]:
+        """bucket -> version map as of ``version`` (greatest manifest ≤)."""
+        v = self._manifest_version_le(name, version)
+        if v is None:
+            return {}
+        with open(os.path.join(self._ptr_dir(name), f"v{v:06d}.json")) as f:
+            m = json.load(f)
+        return {int(k): int(x) for k, x in m["buckets"].items()}
+
+    def _write_manifest(self, name: str, version: int,
+                        buckets: dict[int, int]) -> None:
+        os.makedirs(self._ptr_dir(name), exist_ok=True)
+        path = os.path.join(self._ptr_dir(name), f"v{version:06d}.json")
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "num_buckets": self.num_buckets,
+                       "committed_at": time.time(),
+                       "buckets": {str(k): v for k, v in
+                                   sorted(buckets.items())}}, f)
+        os.replace(tmp, path)
+
+    def _write_bucketed(self, name: str, df: DataFrame, version: int,
+                        full: bool, base_version: int | None = None) -> None:
+        """Write ``df`` (the content of the buckets it spans) partitioned
+        by bucket id, move each produced bucket dir into place, and
+        commit a manifest chaining untouched buckets from
+        ``base_version``.  ``full=True`` starts a fresh manifest (seed
+        ingestion / whole-table rewrite)."""
+        spec = STATE_TABLES[name]
+        tmp = os.path.join(self._table_dir(name), f".delta_v{version:06d}.tmp")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        (df.withColumn("_bucket", bucket_of(spec["bucket_key"],
+                                            self.num_buckets))
+           .write.mode("overwrite").partitionBy("_bucket").parquet(tmp))
+        produced = {int(m.group(1)) for e in os.listdir(tmp)
+                    if (m := re.fullmatch(r"_bucket=(\d+)", e))}
+        manifest = {} if full else dict(self._read_manifest(name, base_version))
+        for k in sorted(produced):
+            dst = os.path.join(self._bucket_dir(name, k), f"v{version:06d}")
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            os.rename(os.path.join(tmp, f"_bucket={k}"), dst)
+            manifest[k] = version
+        shutil.rmtree(tmp)
+        self._write_manifest(name, version, manifest)
+
+    def _read_bucketed(self, name: str, schema: T.StructType | None,
+                       version: int | None,
+                       buckets: list[int] | None = None) -> DataFrame:
+        if schema is None and name in STATE_TABLES:
+            from . import schemas as S
+            schema = getattr(S, name.upper(), None)
+        manifest = self._read_manifest(name, version)
+        if buckets is not None:
+            manifest = {k: v for k, v in manifest.items() if k in set(buckets)}
+        paths = [os.path.join(self._bucket_dir(name, k), f"v{v:06d}")
+                 for k, v in sorted(manifest.items())]
+        if not paths:
+            if schema is None:
+                raise FileNotFoundError(
+                    f"bucketed table {name} is empty and no schema given")
+            return self.spark.createDataFrame([], schema)
+        r = self.spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.parquet(*paths)
+
+    def read_state(self, name: str, version: int | None = None,
+                   buckets: list[int] | None = None,
+                   schema: T.StructType | None = None) -> DataFrame:
+        """State-table read; ``buckets`` prunes the scan to a bounded
+        bucket set (bucket-pruned reads for batch-bounded key lookups)."""
+        if self._is_bucketed(name):
+            return self._read_bucketed(name, schema, version, buckets)
+        return self.read(name, schema, version)
+
+    def merge_state(self, name: str, delta: DataFrame, version: int,
+                    base_version: int,
+                    touched: list[int] | None = None) -> None:
+        """MERGE ``delta`` into the state table: rows whose merge key
+        matches an existing row are replaced, the rest inserted (the
+        reference's ON DUPLICATE KEY UPDATE upsert, database.py:321-323).
+
+        Bucketed layout: reads ONLY the touched buckets (⊇ the delta's
+        buckets — a superset merely rewrites identical content), merges,
+        writes only those buckets + a manifest.  Per-iteration I/O is
+        O(touched buckets' rows), not O(corpus).  Snapshot layout: the
+        legacy full merge+rewrite, same semantics."""
+        spec = STATE_TABLES[name]
+        keys = delta.select(*spec["merge_keys"]).distinct()
+        # dispatch on the ON-DISK layout (fixed at init by write()): a
+        # resumed run keeps whatever layout it was seeded with, so a
+        # default-bucketed TableIO can safely resume a snapshot-layout dir
+        if self._is_bucketed(name):
+            if touched is None:
+                touched = [r[0] for r in delta.select(
+                    bucket_of(spec["bucket_key"], self.num_buckets)
+                    .alias("b")).distinct().collect()]
+            if not touched:
+                # empty delta: chain the manifest forward unchanged so
+                # reads at `version` resolve without scanning backwards
+                self._write_manifest(
+                    name, version, self._read_manifest(name, base_version))
+                return
+            base = self._read_bucketed(name, None, base_version, touched)
+            merged = (base.join(F.broadcast(keys), spec["merge_keys"],
+                                "left_anti")
+                      .unionByName(delta))
+            self._write_bucketed(name, merged, version, full=False,
+                                 base_version=base_version)
+        else:
+            base = self.read(name, version=base_version)
+            merged = (base.join(F.broadcast(keys), spec["merge_keys"],
+                                "left_anti")
+                      .unionByName(delta))
+            self._write_snapshot(name, merged, version)
+
+    # ---- append layout (metrics: one immutable partition per iteration) --
+
+    def append_partition(self, name: str, df: DataFrame, version: int) -> None:
+        d = self._table_dir(name)
+        path = os.path.join(d, f"part_v{version:06d}")
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    def _read_append(self, name: str, schema: T.StructType | None,
+                     version: int | None) -> DataFrame:
+        d = self._table_dir(name)
+        try:
+            parts = sorted((int(m.group(1)), e) for e in os.listdir(d)
+                           if (m := re.fullmatch(r"part_v(\d+)", e)))
+        except OSError:
+            parts = []
+        if version is not None:
+            parts = [(v, e) for v, e in parts if v <= version]
+        paths = [os.path.join(d, e) for _, e in parts]
+        if not paths:
+            if schema is None:
+                raise FileNotFoundError(f"append table {name} has no partitions")
+            return self.spark.createDataFrame([], schema)
+        r = self.spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.parquet(*paths)
+
+    # ---- retention / GC --------------------------------------------------
+
+    def prune(self, retain: int, upto: int) -> None:
+        """Drop versions older than the trailing ``retain`` window ending
+        at ``upto``.  Per table (and per bucket), every version >
+        ``upto - retain`` is kept PLUS the newest version at-or-before
+        the window start, so any retained manifest / read at a retained
+        version still resolves.  Append partitions are never pruned
+        (the log IS the data).  No-op when retain <= 0."""
+        if retain <= 0:
+            return
+        cutoff = upto - retain
+
+        def keep_set(versions: list[int]) -> set[int]:
+            older = [v for v in versions if v <= cutoff]
+            kept = {v for v in versions if v > cutoff}
+            if older:
+                kept.add(max(older))
+            return kept
+
+        try:
+            names = os.listdir(self.root)
+        except OSError:
+            return
+        for name in names:
+            d = self._table_dir(name)
+            if not os.path.isdir(d):
+                continue
+            if self._is_bucketed(name):
+                pd_ = self._ptr_dir(name)
+                manifests = [(int(m.group(1)), e) for e in os.listdir(pd_)
+                             if (m := re.fullmatch(r"v(\d+)\.json", e))]
+                kept_m = keep_set([v for v, _ in manifests])
+                for v, e in manifests:
+                    if v not in kept_m:
+                        os.unlink(os.path.join(pd_, e))
+                for be in os.listdir(d):
+                    if not re.fullmatch(r"b\d+", be):
+                        continue
+                    bd = os.path.join(d, be)
+                    vs = [(int(m.group(1)), e) for e in os.listdir(bd)
+                          if (m := re.fullmatch(r"v(\d+)", e))]
+                    kept = keep_set([v for v, _ in vs])
+                    for v, e in vs:
+                        if v not in kept:
+                            shutil.rmtree(os.path.join(bd, e))
+            elif self._is_append(name):
+                continue
+            else:
+                vs = [(int(m.group(1)), e) for e in os.listdir(d)
+                      if (m := re.fullmatch(r"v(\d+)(?:\.blob)?", e))]
+                kept = keep_set([v for v, _ in vs])
+                for v, e in vs:
+                    if v not in kept:
+                        p = os.path.join(d, e)
+                        shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
 
     # --- binary blobs (membership sketches), same versioned layout ------
 

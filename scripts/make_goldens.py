@@ -14,6 +14,18 @@ time, so the comparison catches any regression in the Spark dataflow.
 - golden_crawl_edges.parquet: the edge table the sequential reference
   oracle produces for the default 2-iteration fixture crawl
   (domain_collector.py:1350-1412 loop semantics).
+
+Independence honesty (ADVICE r3): golden_crawl_edges comes from the
+SEPARATE sequential restatement (oracle/pyref.py — an independent code
+path whose own semantics are pinned line-by-line to the reference by
+unit tests), so it detects Spark-vs-sequential divergence.  The
+golden_extract_meta and golden_robots_decisions goldens, by contrast,
+call the SAME htmlx / functions.robots parsers the Spark UDFs wrap —
+they are REGRESSION PINS (snapshot drift of one code path), not
+independent oracles; the independent coverage for those parsers is the
+hand-computed per-quirk unit tests in tests/test_semantics_core.py and
+tests/test_robots.py, which assert expected values written by hand from
+the reference's code.
 """
 
 from __future__ import annotations

@@ -99,6 +99,123 @@ class TestSkew:
         assert "TakeOrderedAndProject" in plan
 
 
+def _broadcast_subtrees(plan: str) -> list[str]:
+    """Return, for each BroadcastExchange in a ``formatted`` plan, the
+    concatenated DETAIL text of the exchange's descendant nodes.
+
+    Parses the tree section (indentation = parent/child) and maps node
+    ids to their detail blocks, so assertions can inspect what actually
+    feeds each broadcast."""
+    import re
+    lines = plan.splitlines()
+    tree: list[tuple[int, str, int]] = []   # (depth, name, id)
+    details: dict[int, str] = {}
+    in_tree = False
+    cur_id = None
+    for ln in lines:
+        m = re.match(r"^([ :+\-*]*)([A-Za-z][A-Za-z0-9_ .]*?) \((\d+)\)\s*$",
+                     ln)
+        if m and not ln.startswith("("):
+            in_tree = True
+            depth = len(m.group(1))
+            tree.append((depth, m.group(2).strip(), int(m.group(3))))
+            continue
+        d = re.match(r"^\((\d+)\) (.+)$", ln)
+        if d:
+            cur_id = int(d.group(1))
+            details[cur_id] = d.group(2) + "\n"
+            continue
+        if cur_id is not None:
+            details[cur_id] = details.get(cur_id, "") + ln + "\n"
+    out = []
+    for i, (depth, name, nid) in enumerate(tree):
+        if "BroadcastExchange" not in name:
+            continue
+        desc_ids = []
+        for depth2, name2, nid2 in tree[i + 1:]:
+            if depth2 <= depth:
+                break
+            desc_ids.append(nid2)
+        out.append("".join(details.get(x, f"{tree}") for x in desc_ids)
+                   or " ".join(n for _, n, x in tree[i + 1:i + 9]))
+    return out
+
+
+class TestBoundedBroadcasts:
+    """VERDICT r3 item 8: every broadcast side on the crawl hot path
+    must be batch-bounded — if it scans a corpus-growing parquet table
+    it MUST be pruned by a LeftSemi against the batch key set first.  A
+    regression reintroducing a corpus-sized broadcast fails here."""
+
+    def _assert_bounded(self, plan, corpus_marker: str):
+        subs = _broadcast_subtrees(plan)
+        assert subs, "expected at least one BroadcastExchange"
+        offenders = [s for s in subs
+                     if corpus_marker in s and "LeftSemi" not in s]
+        assert not offenders, offenders
+
+    def test_seen_counts_broadcast_is_pruned(self, spark, tmp_path):
+        """The per-domain history counts the quota gates broadcast must
+        descend from the batch-keyed semi-join, never the global
+        aggregate over the whole seen table."""
+        import pandas as pd
+
+        from map_the_net_crawler_spark.operators.seen import \
+            seen_counts_pruned
+        seen_path = str(tmp_path / "seen_pq")
+        spark.createDataFrame(pd.DataFrame({
+            "url": [f"http://d{i}.com/x" for i in range(500)],
+            "domain_name": [f"d{i % 50}.com" for i in range(500)]})) \
+            .write.mode("overwrite").parquet(seen_path)
+        seen = spark.read.parquet(seen_path)
+        batch = spark.createDataFrame(pd.DataFrame(
+            {"domain_name": ["d1.com", "d2.com"], "n": [1, 2]}))
+        counts = seen_counts_pruned(seen, batch)
+        gated = batch.join(F.broadcast(counts), "domain_name", "left")
+        self._assert_bounded(plan_of(gated), "Scan parquet")
+
+    def test_complete_set_broadcast_is_pruned(self, spark, tmp_path):
+        """F13: the complete-data key set broadcast into the node-update
+        anti-join is semi-join-pruned to the batch."""
+        import pandas as pd
+
+        from map_the_net_crawler_spark import schemas as S
+        from map_the_net_crawler_spark.plans.iteration import \
+            complete_data_domains
+        nodes_path = str(tmp_path / "nodes_pq")
+        spark.createDataFrame([], S.NODES).write.mode("overwrite") \
+            .parquet(nodes_path)
+        nodes = spark.read.schema(S.NODES).parquet(nodes_path)
+        batch = spark.createDataFrame(pd.DataFrame(
+            {"domain_name": ["a.com"], "title": ["t"]}))
+        complete = complete_data_domains(nodes, batch)
+        out = batch.join(F.broadcast(complete), "domain_name", "left_anti")
+        self._assert_bounded(plan_of(out), "Scan parquet")
+
+    def test_enrich_dim_broadcasts_are_pruned(self, spark):
+        """S4-S7: every enrichment dimension broadcast that scans a dim
+        parquet snapshot is bounded by a batch-key semi-join (the
+        _bounded prune in operators/enrich.py)."""
+        import os
+
+        import pandas as pd
+
+        from map_the_net_crawler_spark import schemas as S
+        from map_the_net_crawler_spark.operators.enrich import enrich_batch
+        fx = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "fixtures")
+        whois = spark.read.parquet(os.path.join(fx, "whois.parquet"))
+        dns = spark.read.parquet(os.path.join(fx, "dns.parquet"))
+        ssl = spark.read.parquet(os.path.join(fx, "ssl.parquet"))
+        geo = spark.read.parquet(os.path.join(fx, "geo.parquet"))
+        nodes = spark.createDataFrame([], S.NODES)
+        batch = spark.createDataFrame(pd.DataFrame(
+            {"domain_name": ["site00000.com", "a.site00001.org"],
+             "batch_rank": [1, 2]}))
+        out = enrich_batch(batch, whois, dns, ssl, geo, nodes)
+        self._assert_bounded(plan_of(out), "Scan parquet")
+
+
 class TestSketchPath:
     def test_sure_new_rows_bypass_join(self, spark):
         """anti_join_with_sketch: the provably-new branch must contain no

@@ -1,0 +1,212 @@
+"""Bucketed incremental state commits (VERDICT r3 item 1) + retention.
+
+The bucketed TableIO layout must be (a) bit-identical to the legacy
+full-rewrite snapshot layout on the same crawl, (b) incremental — bytes
+written per iteration scale with the BATCH, not the corpus, when the
+bucket count is sized to the corpus (Iceberg-style: bucket files of
+roughly constant size, bucket COUNT grows with the data), and
+(c) prunable — a retention window bounds disk while keeping resume and
+reads at retained versions working.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_the_net_crawler_spark import schemas as S
+from map_the_net_crawler_spark.config import CrawlConfig
+from map_the_net_crawler_spark.operators.frontier import DISCOVERY_TS_BASE
+from map_the_net_crawler_spark.plans.crawl import run_crawl
+from map_the_net_crawler_spark.plans.iteration import CrawlInputs
+from map_the_net_crawler_spark.storage import STATE_TABLES, TableIO, bucket_of
+
+
+def _inputs(spark, fixture_paths):
+    return CrawlInputs(
+        pages=spark.read.parquet(fixture_paths["pages"]),
+        robots=spark.read.parquet(fixture_paths["robots"]),
+        redirects=spark.read.schema(S.REDIRECTS)
+        .parquet(fixture_paths["redirects"]),
+        whois=spark.read.parquet(fixture_paths["whois"]),
+        dns=spark.read.parquet(fixture_paths["dns"]),
+        ssl=spark.read.parquet(fixture_paths["ssl"]),
+        geo=spark.read.parquet(fixture_paths["geo"]))
+
+
+def _tables(tio):
+    out = {}
+    for t in ("frontier", "seen", "nodes", "edges", "metrics"):
+        out[t] = sorted(map(tuple, tio.read(t, getattr(S, t.upper()))
+                            .collect()))
+    return out
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+class TestBucketedLayout:
+    def test_layout_identity(self, spark, fixture_paths):
+        """bucketed vs snapshot layout: same crawl, bit-identical
+        frontier/seen/nodes/edges/metrics."""
+        results = {}
+        for layout in ("snapshot", "bucketed"):
+            tio = TableIO(tempfile.mkdtemp(prefix=f"mtn_lay_{layout}_"),
+                          spark, layout=layout, num_buckets=8)
+            run_crawl(spark, tio, _inputs(spark, fixture_paths),
+                      CrawlConfig(),
+                      seeds=spark.read.parquet(fixture_paths["frontier_seed"]),
+                      max_iterations=3)
+            results[layout] = _tables(tio)
+            if layout == "bucketed":
+                # layout actually engaged: manifests + bucket dirs exist
+                assert os.path.isdir(os.path.join(tio.root, "frontier",
+                                                  "_ptr"))
+                assert any(e.startswith("b") for e in
+                           os.listdir(os.path.join(tio.root, "frontier")))
+                # metrics is a pure per-iteration partition append
+                mdir = os.path.join(tio.root, "metrics")
+                assert all(e.startswith("part_v") for e in os.listdir(mdir))
+        assert results["snapshot"] == results["bucketed"]
+
+    def test_merge_state_unit(self, spark):
+        """merge_state upsert semantics + manifest chaining + bucket-
+        pruned reads, without a full crawl."""
+        tio = TableIO(tempfile.mkdtemp(prefix="mtn_ms_"), spark,
+                      num_buckets=16)
+
+        def nrow(domain, title):
+            return {f.name: None for f in S.NODES.fields} | {
+                "domain_id": 0, "domain_name": domain, "title": title,
+                "ssl_valid": False, "updated_iteration": 0}
+
+        base = spark.createDataFrame(
+            [nrow("a.com", "A"), nrow("b.com", "B")], S.NODES)
+        tio.write("nodes", base, 0)
+        delta = spark.createDataFrame(
+            [nrow("b.com", "B2"), nrow("c.com", "C")], S.NODES)
+        tio.merge_state("nodes", delta, 1, 0)
+        got = {r.domain_name: r.title
+               for r in tio.read("nodes", S.NODES).collect()}
+        assert got == {"a.com": "A", "b.com": "B2", "c.com": "C"}
+        # time travel to version 0 still sees the pre-merge rows
+        got0 = {r.domain_name: r.title
+                for r in tio.read("nodes", S.NODES, version=0).collect()}
+        assert got0 == {"a.com": "A", "b.com": "B"}
+        # empty delta chains the manifest forward (read at v2 resolves)
+        tio.merge_state("nodes", spark.createDataFrame([], S.NODES), 2, 1)
+        got2 = {r.domain_name: r.title
+                for r in tio.read("nodes", S.NODES, version=2).collect()}
+        assert got2 == got
+        # bucket-pruned read: exactly the rows of the requested buckets
+        nb = tio.num_buckets
+        bmap = {r.domain_name: r.b for r in
+                tio.read("nodes", S.NODES)
+                .select("domain_name",
+                        bucket_of("domain_name", nb).alias("b")).collect()}
+        want_bucket = bmap["c.com"]
+        pruned = {r.domain_name for r in
+                  tio.read_state("nodes", buckets=[want_bucket]).collect()}
+        assert "c.com" in pruned
+        assert pruned == {d for d, b in bmap.items() if b == want_bucket}
+        # only the touched buckets gained a v1 dir
+        touched_dirs = [e for e in os.listdir(os.path.join(tio.root, "nodes"))
+                        if e.startswith("b")
+                        and os.path.isdir(os.path.join(tio.root, "nodes", e,
+                                                       "v000001"))]
+        delta_buckets = {bmap["b.com"], bmap["c.com"]}
+        assert {int(e[1:]) for e in touched_dirs} == delta_buckets
+
+    def test_pruned_read_path_identity(self, spark, fixture_paths):
+        """num_buckets >= 64 flips on the at-scale bucket-pruned state
+        READS (seen gates / nodes enrich+complete+minimal / frontier
+        anti-join keys) — the crawl must stay bit-identical to the
+        default full-read path."""
+        results = {}
+        for nb in (8, 128):
+            tio = TableIO(tempfile.mkdtemp(prefix=f"mtn_pr_{nb}_"),
+                          spark, num_buckets=nb)
+            run_crawl(spark, tio, _inputs(spark, fixture_paths),
+                      CrawlConfig(),
+                      seeds=spark.read.parquet(fixture_paths["frontier_seed"]),
+                      max_iterations=3)
+            results[nb] = _tables(tio)
+        assert results[8] == results[128]
+
+    def test_commit_io_scales_with_batch(self, spark, fixture_paths):
+        """VERDICT r3 item 1 'done' criterion: with buckets sized to the
+        corpus (constant rows per bucket, Iceberg-style), bytes written
+        per iteration are governed by the batch, not the corpus — a 10×
+        bigger (unclaimed) frontier must NOT write ~10× more per
+        iteration, as the old full-rewrite layout did."""
+        growth = {}
+        for n_filler in (4_000, 40_000):
+            # bucket count ∝ corpus keeps bucket size constant — the
+            # at-scale sizing rule (bucket ≈ target file size)
+            nb = max(32, n_filler // 250)
+            tio = TableIO(tempfile.mkdtemp(prefix=f"mtn_io_{n_filler}_"),
+                          spark, num_buckets=nb)
+            seeds = spark.read.parquet(fixture_paths["frontier_seed"])
+            max_seq = seeds.agg(F.max("discovery_seq")).collect()[0][0]
+            filler = spark.range(n_filler).select(
+                F.concat(F.lit("http://filler-"), F.col("id"),
+                         F.lit(".zz")).alias("url"),
+                F.concat(F.lit("filler-"), F.col("id"),
+                         F.lit(".zz")).alias("domain_name"),
+                F.lit(None).cast("string").alias("source_domain"),
+                F.lit(0).alias("priority"),          # below every seed
+                F.lit("pending").alias("status"),
+                (F.col("id") + max_seq + 1).alias("discovery_seq"),
+                F.lit(DISCOVERY_TS_BASE.replace(tzinfo=None))
+                .cast("timestamp").alias("discovery_ts"),
+                F.lit(0).alias("depth"),
+                F.lit(None).cast("string").alias("error_message"),
+                F.lit(None).cast("int").alias("processed_iteration"))
+            all_seeds = seeds.unionByName(
+                filler.select(*[f.name for f in S.FRONTIER.fields]))
+            run_crawl(spark, tio, _inputs(spark, fixture_paths),
+                      CrawlConfig(), seeds=all_seeds, max_iterations=1)
+            s1 = _dir_bytes(tio.root)
+            run_crawl(spark, tio, _inputs(spark, fixture_paths),
+                      CrawlConfig(), seeds=None, max_iterations=1)
+            growth[n_filler] = _dir_bytes(tio.root) - s1
+        # full rewrite would be ~10×; incremental commits stay ~flat
+        # (same batch, same touched-bucket count, same bucket size)
+        assert growth[40_000] < 3 * growth[4_000], growth
+
+    def test_retention_gc(self, spark, fixture_paths):
+        """snapshot_retain bounds versions per table/bucket while the
+        final tables and resume stay intact."""
+        ref = TableIO(tempfile.mkdtemp(prefix="mtn_keep_"), spark)
+        run_crawl(spark, ref, _inputs(spark, fixture_paths), CrawlConfig(),
+                  seeds=spark.read.parquet(fixture_paths["frontier_seed"]),
+                  max_iterations=4)
+
+        tio = TableIO(tempfile.mkdtemp(prefix="mtn_gc_"), spark)
+        cfg = CrawlConfig(snapshot_retain=1)
+        run_crawl(spark, tio, _inputs(spark, fixture_paths), cfg,
+                  seeds=spark.read.parquet(fixture_paths["frontier_seed"]),
+                  max_iterations=3)
+        # resume for one more iteration from the pruned checkpoint
+        run_crawl(spark, tio, _inputs(spark, fixture_paths), cfg,
+                  seeds=None, max_iterations=1)
+        assert _tables(tio) == _tables(ref)
+        # per bucket: at most the window (1) + the pre-window anchor
+        for t in STATE_TABLES:
+            tdir = os.path.join(tio.root, t)
+            for e in os.listdir(tdir):
+                if not e.startswith("b") or not e[1:].isdigit():
+                    continue
+                versions = os.listdir(os.path.join(tdir, e))
+                assert len(versions) <= 2, (t, e, versions)
+        # retention run uses strictly less disk than the keep-all run
+        assert _dir_bytes(tio.root) < _dir_bytes(ref.root)
