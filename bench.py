@@ -497,11 +497,14 @@ def main():
         # with the SAME shuffle-partition count so the physical plans are
         # identical — only the core count differs.
         reps = int(os.environ.get("MTN_BENCH_SCALING_REPS", "2"))
+        levels = [int(x) for x in os.environ.get(
+            "MTN_BENCH_SCALING_LEVELS", "8,32").split(",")]
         scaling = {"corpus_domains": n_dom, "reps": reps,
+                   "levels": levels,
                    "aggregation": "min_sec_per_level(interleaved)"}
-        samples: dict[int, list] = {8: [], 32: []}
+        samples: dict[int, list] = {c: [] for c in levels}
         for _ in range(reps):
-            for cpus in (8, 32):
+            for cpus in levels:
                 sp = make_spark(cpus, shuffle=32)
                 c = bench_crawl(sp, big, timed_iterations=1)
                 sp.stop()
@@ -518,7 +521,10 @@ def main():
             tb = scaling[f"local[{b}]"]["urls_per_sec"]
             return round((tb / ta) / factor, 3) if ta else None
 
-        scaling["efficiency_8_to_32"] = eff(8, 32, 4.0)
+        for a, b in zip(levels, levels[1:]):
+            scaling[f"efficiency_{a}_to_{b}"] = eff(a, b, b / a)
+        if 8 in levels and 32 in levels:
+            scaling["efficiency_8_to_32"] = eff(8, 32, 4.0)
         result["scaling"] = scaling
         with open("BENCH_SCALING.json", "w") as f:
             json.dump(scaling, f, indent=2)

@@ -359,15 +359,16 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     edges_batch = edges_from_relationships(rels, iteration)
     discoveries = discoveries_from_relationships(rels)
 
-    # ---- touched buckets (bucketed layout): cheap SUPERSETS of each
-    # delta's key set, all read from already-materialized batch-sized
-    # parquets (gated / nodes_batch / rels), resolved in ONE tiny Spark
-    # action.  frontier's set uses rels.clean_url ⊇ new_pending urls (a
-    # superset bucket merely rewrites identical content; correctness
-    # needs only touched ⊇ delta buckets).  The same action collects the
-    # candidate-url buckets for the at-scale pruned frontier read below.
-    touched: dict[str, list[int]] = {}
-    if tio._is_bucketed("frontier"):
+    # ---- at-scale pruned read views (prune_reads only): ONE tiny Spark
+    # action over the already-materialized batch-sized rels/nodes_batch
+    # parquets collects the touched-domain and candidate-url bucket
+    # sets, then the minimal-row nodes lookup and the discovery
+    # anti-join's frontier key side open only those buckets.
+    # (State-table COMMITS no longer need touched buckets at all — the
+    # merge-on-read delta log in TableIO.merge_state writes O(batch)
+    # partitions and derives touched buckets itself at compaction.)
+    nodes_touch_view, frontier_keys_view = nodes, frontier
+    if prune_reads:
         from functools import reduce
 
         from ..storage import bucket_of
@@ -380,37 +381,21 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
                                   .select(F.col("redirect_final_domain")
                                           .alias("domain_name"))))
         key_sets = [
-            gated.select(F.lit("frontier").alias("t"),
-                         bucket_of("url", nb).alias("b")),
-            rels.select(F.lit("frontier").alias("t"),
-                        bucket_of("clean_url", nb).alias("b")),
             rels.select(F.lit("cand").alias("t"),
                         bucket_of("clean_url", nb).alias("b")),
-            gated.select(F.lit("seen").alias("t"),
-                         bucket_of("domain_name", nb).alias("b")),
             node_doms.select(F.lit("nodes").alias("t"),
                              bucket_of("domain_name", nb).alias("b")),
-            rels.select(F.lit("edges").alias("t"),
-                        bucket_of("domain_name", nb).alias("b")),
         ]
+        buckets: dict[str, list[int]] = {"cand": [], "nodes": []}
         for r in reduce(DataFrame.unionByName, key_sets).distinct().collect():
-            touched.setdefault(r["t"], []).append(r["b"])
-        for t in ("frontier", "seen", "nodes", "edges", "cand"):
-            touched.setdefault(t, [])
-    tmr.lap("touched_buckets")
-
-    # at-scale pruned views keyed by this iteration's touched sets:
-    # nodes for the minimal-row anti-join (target + redirect-final
-    # buckets ⊆ touched["nodes"]), frontier keys for the discovery
-    # anti-join (candidate-url buckets)
-    nodes_touch_view, frontier_keys_view = nodes, frontier
-    if prune_reads:
+            buckets.setdefault(r["t"], []).append(r["b"])
         nodes_touch_view = tio.read_state("nodes", version=base,
                                           schema=S.NODES,
-                                          buckets=touched["nodes"])
+                                          buckets=buckets["nodes"])
         frontier_keys_view = tio.read_state("frontier", version=base,
                                             schema=S.FRONTIER,
-                                            buckets=touched["cand"])
+                                            buckets=buckets["cand"])
+    tmr.lap("touched_buckets")
 
     # ---- minimal node rows for targets + redirect finals (J2) ----------
     touched_doms = (rels.select(F.col("target_domain").alias("domain_name"))
@@ -636,12 +621,13 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     # ---- atomic commit: incremental MERGE per state table + one metrics
     # partition append, fanned out across scheduler threads (independent
     # Spark jobs); the meta write is the single commit point.  Bucketed
-    # layout: each merge reads + rewrites ONLY its touched buckets —
-    # per-iteration I/O scales with the batch, not the corpus.
+    # layout: each merge appends ONE O(batch) delta partition to the
+    # merge-on-read log (folded into buckets every compact_every
+    # commits) — per-iteration I/O scales with the batch, not the
+    # corpus.
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=5) as ex:
-        futs = [ex.submit(tio.merge_state, name, delta, iteration, base,
-                          touched.get(name))
+        futs = [ex.submit(tio.merge_state, name, delta, iteration, base)
                 for name, delta in (("frontier", frontier_delta),
                                     ("seen", seen_delta),
                                     ("nodes", nodes_delta),

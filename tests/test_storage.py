@@ -60,8 +60,11 @@ class TestBucketedLayout:
         frontier/seen/nodes/edges/metrics."""
         results = {}
         for layout in ("snapshot", "bucketed"):
+            # compact_every=2: the 3-iteration crawl crosses a
+            # merge-on-read compaction boundary mid-run
             tio = TableIO(tempfile.mkdtemp(prefix=f"mtn_lay_{layout}_"),
-                          spark, layout=layout, num_buckets=8)
+                          spark, layout=layout, num_buckets=8,
+                          compact_every=2)
             run_crawl(spark, tio, _inputs(spark, fixture_paths),
                       CrawlConfig(),
                       seeds=spark.read.parquet(fixture_paths["frontier_seed"]),
@@ -79,10 +82,11 @@ class TestBucketedLayout:
         assert results["snapshot"] == results["bucketed"]
 
     def test_merge_state_unit(self, spark):
-        """merge_state upsert semantics + manifest chaining + bucket-
-        pruned reads, without a full crawl."""
+        """merge_state upsert semantics under merge-on-read: O(batch)
+        delta partitions, overlay reads, time travel, bucket pruning,
+        and compaction folding the delta log into its touched buckets."""
         tio = TableIO(tempfile.mkdtemp(prefix="mtn_ms_"), spark,
-                      num_buckets=16)
+                      num_buckets=16, compact_every=3)
 
         def nrow(domain, title):
             return {f.name: None for f in S.NODES.fields} | {
@@ -98,16 +102,23 @@ class TestBucketedLayout:
         got = {r.domain_name: r.title
                for r in tio.read("nodes", S.NODES).collect()}
         assert got == {"a.com": "A", "b.com": "B2", "c.com": "C"}
+        # merge-on-read: the commit wrote ONE delta partition, not
+        # rewritten buckets (O(batch) write path)
+        ndir = os.path.join(tio.root, "nodes")
+        assert os.path.isdir(os.path.join(ndir, "delta_v000001"))
+        assert not any(os.path.isdir(os.path.join(ndir, e, "v000001"))
+                       for e in os.listdir(ndir) if e.startswith("b"))
         # time travel to version 0 still sees the pre-merge rows
         got0 = {r.domain_name: r.title
                 for r in tio.read("nodes", S.NODES, version=0).collect()}
         assert got0 == {"a.com": "A", "b.com": "B"}
-        # empty delta chains the manifest forward (read at v2 resolves)
-        tio.merge_state("nodes", spark.createDataFrame([], S.NODES), 2, 1)
+        # a later delta wins over an earlier one for the same key
+        tio.merge_state("nodes", spark.createDataFrame(
+            [nrow("b.com", "B3")], S.NODES), 2, 1)
         got2 = {r.domain_name: r.title
                 for r in tio.read("nodes", S.NODES, version=2).collect()}
-        assert got2 == got
-        # bucket-pruned read: exactly the rows of the requested buckets
+        assert got2 == {"a.com": "A", "b.com": "B3", "c.com": "C"}
+        # bucket-pruned read sees the overlay too
         nb = tio.num_buckets
         bmap = {r.domain_name: r.b for r in
                 tio.read("nodes", S.NODES)
@@ -118,13 +129,26 @@ class TestBucketedLayout:
                   tio.read_state("nodes", buckets=[want_bucket]).collect()}
         assert "c.com" in pruned
         assert pruned == {d for d, b in bmap.items() if b == want_bucket}
-        # only the touched buckets gained a v1 dir
-        touched_dirs = [e for e in os.listdir(os.path.join(tio.root, "nodes"))
-                        if e.startswith("b")
-                        and os.path.isdir(os.path.join(tio.root, "nodes", e,
-                                                       "v000001"))]
-        delta_buckets = {bmap["b.com"], bmap["c.com"]}
-        assert {int(e[1:]) for e in touched_dirs} == delta_buckets
+        # third merge hits compact_every: deltas fold into exactly their
+        # touched buckets and the manifest's delta list resets
+        tio.merge_state("nodes", spark.createDataFrame(
+            [nrow("d.com", "D")], S.NODES), 3, 2)
+        man = tio._load_manifest("nodes", 3)
+        assert man["deltas"] == []
+        got3 = {r.domain_name: r.title
+                for r in tio.read("nodes", S.NODES).collect()}
+        assert got3 == {"a.com": "A", "b.com": "B3", "c.com": "C",
+                        "d.com": "D"}
+        d_bucket = spark.range(1).select(
+            bucket_of(F.lit("d.com"), nb).alias("b")).collect()[0]["b"]
+        compacted = {int(e[1:]) for e in os.listdir(ndir)
+                     if e.startswith("b")
+                     and os.path.isdir(os.path.join(ndir, e, "v000003"))}
+        assert compacted == {bmap["b.com"], bmap["c.com"], d_bucket}
+        # time travel across the compaction boundary still resolves
+        gotv2 = {r.domain_name: r.title
+                 for r in tio.read("nodes", S.NODES, version=2).collect()}
+        assert gotv2 == got2
 
     def test_pruned_read_path_identity(self, spark, fixture_paths):
         """num_buckets >= 64 flips on the at-scale bucket-pruned state
