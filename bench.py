@@ -445,6 +445,10 @@ def main():
 
     spark = make_spark(CPUS)
     t0 = time.time()
+    # throwaway canary first: the very first job of a session measures
+    # JVM JIT warmup (~60-90 s cold), not host noise — the recorded
+    # pre-reading must isolate the latter
+    bench_canary(spark, SF_DIR)
     canary_pre = bench_canary(spark, SF_DIR)
     crawl = bench_crawl(spark, corpus)
     queries = {"crawl_iteration": crawl["sec_per_iteration"]}

@@ -445,17 +445,41 @@ class TableIO:
         # resumed run keeps whatever layout it was seeded with, so a
         # default-bucketed TableIO can safely resume a snapshot-layout dir
         if self._is_bucketed(name):
+            man = self._load_manifest(name, base_version)
+            threshold = max(self.compact_min_rows,
+                            int(man["base_rows"] * self.compact_ratio))
+            n_delta = delta.count()
+            if n_delta == 0:
+                # chain the manifest forward so reads at `version` resolve
+                self._write_manifest(name, version, man["buckets"],
+                                     man["deltas"],
+                                     base_rows=man["base_rows"],
+                                     delta_rows=man["delta_rows"])
+                return
+            pending = sum(man["delta_rows"].values())
+            if n_delta + pending >= threshold:
+                # the delta is a sizable share of the table: the overlay
+                # would cost more than the rewrite it avoids, so take the
+                # copy-on-write path directly — one merged write folding
+                # any pending deltas, no log append, no separate compaction
+                keys = delta.select(*spec["merge_keys"]).distinct()
+                base = self._read_bucketed(name, None, base_version)
+                merged = (base.join(F.broadcast(keys), spec["merge_keys"],
+                                    "left_anti")
+                          .unionByName(delta))
+                self._write_bucketed(name, merged, version, full=True,
+                                     deltas=[])
+                return
+            # merge-on-read: append one O(batch) delta partition
             ddir = self._delta_dir(name, version)
             tmp = ddir + ".tmp"
             if os.path.exists(tmp):
                 shutil.rmtree(tmp)
             # few files per delta: the content is batch-sized
             delta.repartition(4).write.mode("overwrite").parquet(tmp)
-            n_delta = _parquet_rows(tmp)
             if os.path.exists(ddir):
                 shutil.rmtree(ddir)
             os.rename(tmp, ddir)
-            man = self._load_manifest(name, base_version)
             deltas = sorted(set(man["deltas"]) | {version})
             delta_rows = dict(man["delta_rows"])
             delta_rows[version] = n_delta
@@ -463,13 +487,9 @@ class TableIO:
             self._write_manifest(name, version, man["buckets"], deltas,
                                  base_rows=man["base_rows"],
                                  delta_rows=delta_rows)
-            pending_rows = sum(delta_rows.values())
-            # count OR size trigger (Hudi-style): overlay reads are only
-            # worth it while the pending log is small relative to the base
-            if (len(deltas) >= max(1, self.compact_every)
-                    or pending_rows >= max(self.compact_min_rows,
-                                           int(man["base_rows"]
-                                               * self.compact_ratio))):
+            # bound the pending-log LENGTH too (read overlay lists every
+            # pending delta dir): fold into touched buckets periodically
+            if len(deltas) >= max(1, self.compact_every):
                 self._compact(name, version)
         else:
             keys = delta.select(*spec["merge_keys"]).distinct()
