@@ -100,7 +100,11 @@ def bench_crawl(spark, corpus_dir: str, timed_iterations: int = 2):
     cfg = CrawlConfig(max_items=1_000_000, max_depth=3,
                       respect_robots_txt=True)
     run_dir = tempfile.mkdtemp(prefix="mtn_bench_run_")
-    tio = TableIO(run_dir, spark)
+    # Iceberg-style bucket sizing: bucket COUNT ∝ corpus so bucket SIZE
+    # stays roughly constant — a few-10k-row frontier gets 8 buckets,
+    # the frontier-growth bench scales its count with the filler
+    n_seed = pages.count()
+    tio = TableIO(run_dir, spark, num_buckets=max(8, n_seed // 25_000))
     next_seq = init_run(spark, tio, seeds)
 
     # warmup: a small iteration to JIT/compile all code paths
@@ -205,7 +209,8 @@ def bench_crawl_politeness(spark, corpus_dir: str, budget: int = 8,
         F.lit(None).cast("int").alias("processed_iteration"))
     cfg = CrawlConfig(max_items=1_000_000)
     run_dir = tempfile.mkdtemp(prefix="mtn_bench_pol_")
-    tio = TableIO(run_dir, spark)
+    tio = TableIO(run_dir, spark,
+                  num_buckets=max(8, pages.count() // 25_000))
     next_seq = init_run(spark, tio, seeds)
     t0 = time.time()
     r = run_iteration(spark, tio, inputs, cfg, 1, next_seq,

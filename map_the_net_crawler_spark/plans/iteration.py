@@ -625,9 +625,18 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     # merge-on-read log (folded into buckets every compact_every
     # commits) — per-iteration I/O scales with the batch, not the
     # corpus.
+    # delta-size hints: UPPER BOUNDS from counts the iteration already
+    # observed, so merge_state skips its sizing action (hints only steer
+    # the COW-vs-MOR pick and compaction bookkeeping — overestimates are
+    # safe, and a 0 hint is only passed when the delta is provably empty)
+    hints = {"frontier": n_claimed + n_new,
+             "seen": n_claimed,
+             "nodes": n_proc + 2 * n_links,
+             "edges": 2 * n_links}
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=5) as ex:
-        futs = [ex.submit(tio.merge_state, name, delta, iteration, base)
+        futs = [ex.submit(tio.merge_state, name, delta, iteration, base,
+                          None, hints[name])
                 for name, delta in (("frontier", frontier_delta),
                                     ("seen", seen_delta),
                                     ("nodes", nodes_delta),

@@ -428,7 +428,8 @@ class TableIO:
 
     def merge_state(self, name: str, delta: DataFrame, version: int,
                     base_version: int,
-                    touched: list[int] | None = None) -> None:
+                    touched: list[int] | None = None,
+                    delta_rows_hint: int | None = None) -> None:
         """MERGE ``delta`` into the state table: rows whose merge key
         matches an existing row are replaced, the rest inserted (the
         reference's ON DUPLICATE KEY UPDATE upsert, database.py:321-323).
@@ -439,7 +440,14 @@ class TableIO:
         deltas they are folded into exactly their touched buckets.
         Snapshot layout: the legacy full merge+rewrite, same semantics.
         ``touched`` is accepted for API compatibility and ignored (the
-        compactor derives touched buckets from the delta log itself)."""
+        compactor derives touched buckets from the delta log itself).
+
+        ``delta_rows_hint``: a caller-known UPPER BOUND on the delta's
+        row count (e.g. from Observations the iteration already paid
+        for) — skips the sizing count action.  Only the COW-vs-MOR
+        decision and the compaction-trigger bookkeeping use it, both of
+        which tolerate overestimates (an early compaction is merely a
+        cheaper-read trade); exactness is never load-bearing."""
         spec = STATE_TABLES[name]
         # dispatch on the ON-DISK layout (fixed at init by write()): a
         # resumed run keeps whatever layout it was seeded with, so a
@@ -448,7 +456,8 @@ class TableIO:
             man = self._load_manifest(name, base_version)
             threshold = max(self.compact_min_rows,
                             int(man["base_rows"] * self.compact_ratio))
-            n_delta = delta.count()
+            n_delta = delta_rows_hint if delta_rows_hint is not None \
+                else delta.count()
             if n_delta == 0:
                 # chain the manifest forward so reads at `version` resolve
                 self._write_manifest(name, version, man["buckets"],
