@@ -73,7 +73,13 @@ from pyspark.sql import types as T
 # key (the upsert identity) per table.  Everything else TableIO touches
 # is per-iteration scratch and stays in the snapshot layout.
 STATE_TABLES: dict[str, dict] = {
-    "frontier": {"bucket_key": "url", "merge_keys": ["url"]},
+    # stats_cols: per-FILE footer min/max recorded in the manifest at
+    # write time (the Iceberg data-file stats analogue) — they feed the
+    # claim top-k file skipping (read_claim_candidates).  Writers sort
+    # bucket data by these columns so files are status-pure with tight
+    # (priority, discovery_seq) ranges (Iceberg sort-order compaction).
+    "frontier": {"bucket_key": "url", "merge_keys": ["url"],
+                 "stats_cols": ["status", "priority", "discovery_seq"]},
     # seen is bucketed by domain so per-domain history counts
     # (seen_counts_pruned) can bucket-prune their scan; the merge
     # identity stays the url (database.py:153 UNIQUE(url))
@@ -101,6 +107,53 @@ def _parquet_rows(path: str) -> int:
                 except Exception:
                     pass
     return total
+
+
+def _file_stats(path: str, cols: list[str]) -> list[dict]:
+    """Per-file footer stats for ``cols`` under ``path`` — driver-side
+    parquet METADATA only (no data pages read), the stand-in for the
+    column stats an Iceberg writer records in its manifests.
+
+    Returns one entry per data file:
+    ``{"path": <relpath>, "rows": n, "<col>": [min, max] | None}``
+    (None when the footer carries no usable min/max for the column)."""
+    import pyarrow.parquet as pq
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, f)
+            try:
+                md = pq.ParquetFile(fp).metadata
+            except Exception:
+                continue
+            idx = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)}
+            ent: dict = {"path": os.path.relpath(fp, path),
+                         "rows": md.num_rows}
+            for c in cols:
+                i = idx.get(c)
+                mn = mx = None
+                if i is not None:
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(i).statistics
+                        if st is None or not st.has_min_max:
+                            mn = mx = None
+                            break
+                        smin, smax = st.min, st.max
+                        if isinstance(smin, bytes):
+                            try:
+                                smin = smin.decode()
+                                smax = smax.decode()
+                            except UnicodeDecodeError:
+                                mn = mx = None
+                                break
+                        mn = smin if mn is None else min(mn, smin)
+                        mx = smax if mx is None else max(mx, smax)
+                ent[c] = None if mn is None else [mn, mx]
+            out.append(ent)
+    return out
 
 
 def bucket_of(key, num_buckets: int) -> Column:
@@ -223,8 +276,18 @@ class TableIO:
             except (OSError, ValueError, KeyError):
                 v = None
         else:
-            v = version if os.path.isdir(self.snapshot_path(name, version)) \
-                else self._snapshot_version_le(name, version)
+            if os.path.isdir(self.snapshot_path(name, version)):
+                v = version
+            elif self._pruning_ran():
+                # retention GC may have collapsed the exact version onto
+                # its surviving ≤-anchor — resolve to it.  Gated on the
+                # prune marker so a SKIPPED write in an unpruned run
+                # fails loudly instead of returning stale data (ADVICE r4)
+                v = self._snapshot_version_le(name, version)
+            else:
+                raise FileNotFoundError(
+                    f"table {name}: version {version} was never written "
+                    f"(and no retention prune ran that could explain it)")
         if v is None:
             if schema is None:
                 raise FileNotFoundError(f"table {name} has no snapshot and no schema")
@@ -247,6 +310,9 @@ class TableIO:
 
     def exists(self, name: str) -> bool:
         return self.current_version(name) is not None
+
+    def _pruning_ran(self) -> bool:
+        return os.path.exists(os.path.join(self.root, "_pruned"))
 
     # ---- bucketed layout (state tables: incremental commits) -------------
 
@@ -324,6 +390,14 @@ class TableIO:
                                             self.num_buckets))
            .repartition(F.col("_bucket"))
            .write.mode("overwrite").partitionBy("_bucket").parquet(tmp))
+        # a NULL bucket key would land in the Hive default partition and
+        # be silently dropped by the b%05d rename below — fail loudly
+        # instead (state-table keys are declared non-null; ADVICE r4)
+        if os.path.isdir(os.path.join(tmp, "_bucket=__HIVE_DEFAULT_PARTITION__")):
+            shutil.rmtree(tmp)
+            raise ValueError(
+                f"bucketed write of {name} v{version}: NULL bucket key "
+                f"({spec['bucket_key']}) — refusing to drop rows")
         written = _parquet_rows(tmp)
         produced = {int(m.group(1)) for e in os.listdir(tmp)
                     if (m := re.fullmatch(r"_bucket=(\d+)", e))}
@@ -357,7 +431,12 @@ class TableIO:
                          buckets: list[int] | None = None) -> DataFrame:
         """Upsert-resolve the delta log: concatenate the (small) delta
         partitions, newest version wins per merge key.  The window runs
-        over batch×compact_every rows, never the corpus."""
+        over batch×compact_every rows, never the corpus.
+
+        Within ONE delta version, merge keys are unique by the
+        merge_state contract; the xxhash64 secondary order below makes
+        the pick deterministic anyway if a caller ever violates it
+        (and keeps it consistent across re-reads — ADVICE r4)."""
         from pyspark.sql import Window
         spec = STATE_TABLES[name]
         dfs = []
@@ -377,7 +456,9 @@ class TableIO:
                                          self.num_buckets)
                                .isin([int(b) for b in buckets]))
         w = Window.partitionBy(*spec["merge_keys"]) \
-            .orderBy(F.col("_dv").desc())
+            .orderBy(F.col("_dv").desc(),
+                     F.xxhash64(F.struct(*[F.col(f.name)
+                                           for f in schema.fields])).asc())
         return (allv.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1).drop("_rn", "_dv"))
 
@@ -433,6 +514,13 @@ class TableIO:
         """MERGE ``delta`` into the state table: rows whose merge key
         matches an existing row are replaced, the rest inserted (the
         reference's ON DUPLICATE KEY UPDATE upsert, database.py:321-323).
+
+        CONTRACT: ``delta`` must be unique on the table's merge keys —
+        every iteration-plan delta is (claim set + first-wins
+        discoveries / one seen row per domain / keyed node + edge
+        upserts).  A duplicate-keyed delta would resolve to ONE
+        deterministic winner on the MOR path but keep both rows on the
+        COW path; the contract is what keeps the two paths identical.
 
         Bucketed layout (merge-on-read): the delta lands as ONE small
         partition — strictly O(batch) bytes written, no base read — and
@@ -580,6 +668,12 @@ class TableIO:
         (the log IS the data).  No-op when retain <= 0."""
         if retain <= 0:
             return
+        # marker enabling the ≤-version read fallback: only a pruned run
+        # can legitimately be missing an exactly-requested version
+        marker = os.path.join(self.root, "_pruned")
+        if not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write("1")
         cutoff = upto - retain
 
         def keep_set(versions: list[int]) -> set[int]:
