@@ -56,6 +56,11 @@ class CrawlConfig:
     # link count (the Observation the extract write already carries) —
     # a batch whose links are mostly filtered out may still snapshot.
     valid_links_snapshot_min_rows: int = 20_000
+    # batch-key ceiling for the literal-isin dim prunes: below this many
+    # claimed domains the enrichment/complete-set prunes use a pushed
+    # in-filter (no broadcast subtree per dim); above it they fall back
+    # to the broadcast semi-join (a 100k-literal in-list bloats codegen)
+    enrich_inlist_max: int = 2048
     # snapshot retention: keep this many trailing versions per state
     # table/bucket (plus the latest one at-or-before the window start so
     # reads at any retained version still resolve), pruned at commit.

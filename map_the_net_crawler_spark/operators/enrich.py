@@ -37,6 +37,8 @@ def _naive_main(domain: F.Column) -> F.Column:
                   F.concat_ws(".", F.slice(parts, -2, 2))).otherwise(domain)
 
 
+
+
 def _bounded(dim: DataFrame, keys: DataFrame, key: str) -> DataFrame:
     """Prune an unbounded dimension snapshot to a batch-bounded key set
     (broadcast semi-join into the dim scan) so the subsequent broadcast
@@ -48,7 +50,8 @@ def _bounded(dim: DataFrame, keys: DataFrame, key: str) -> DataFrame:
 def enrich_batch(batch: DataFrame, whois: DataFrame, dns: DataFrame,
                  ssl: DataFrame, geo: DataFrame,
                  prior_nodes: DataFrame,
-                 small_batch: bool = True) -> DataFrame:
+                 small_batch: bool = True,
+                 batch_domains: list[str] | None = None) -> DataFrame:
     """batch: (domain_name, batch_rank, ...) — adds the enrichment columns.
 
     prior_nodes supplies the whois-copy source for subdomains whose main
@@ -59,20 +62,41 @@ def enrich_batch(batch: DataFrame, whois: DataFrame, dns: DataFrame,
     backfill, where the "batch" may be a large fraction of the nodes
     table): plain equi-joins, strategy left to Catalyst/AQE — neither
     side is safely broadcastable there.
+
+    batch_domains (small_batch only): the batch's domain_name list,
+    collected once by the caller from the materialized claim.  When
+    given, each dim prune becomes a LITERAL ``isin`` filter pushed into
+    the dim scan instead of a broadcast semi-join — one exchange +
+    key-subtree re-execution saved per dimension (VERDICT r4 item 3,
+    the nodes_batch-stage fan-out).  Identical results: the semi-join
+    and the in-filter keep exactly the key set's rows.
     """
     df = batch.withColumn("main_domain", _naive_main(F.col("domain_name")))
+    keys_known = small_batch and batch_domains is not None
+    dom_list = sorted(set(batch_domains)) if keys_known else None
+    if keys_known:
+        # psl.naive_main_domain is the Python twin of _naive_main
+        # (pinned by tests/test_semantics_core.py::test_naive_main)
+        from ..psl import naive_main_domain
+        main_list = sorted({naive_main_domain(d) for d in dom_list})
+    else:
+        main_list = None
+    main_keys = df.select("main_domain")
+    dom_keys = df.select("domain_name")
 
-    def dim(d: DataFrame, keys: DataFrame, key: str) -> DataFrame:
-        return _bounded(d, keys, key) if small_batch else d
+    def dim(d: DataFrame, lst: list | None, keys_df: DataFrame,
+            src_col: str, key: str) -> DataFrame:
+        if not small_batch:
+            return d
+        if lst is not None:
+            return d.filter(F.col(key).isin(lst))
+        return _bounded(d, keys_df.withColumnRenamed(src_col, key), key)
 
     def bc(d: DataFrame) -> DataFrame:
         return F.broadcast(d) if small_batch else d
 
     # --- WHOIS for main domains
-    main_keys = df.select("main_domain")
-    dom_keys = df.select("domain_name")
-    w = dim(whois, main_keys.withColumnRenamed("main_domain", "domain"),
-                 "domain").select(
+    w = dim(whois, main_list, main_keys, "main_domain", "domain").select(
         F.col("domain").alias("main_domain"),
         normalize_date(F.col("created_date_raw")).alias("_w_created"),
         normalize_date(F.col("expiry_date_raw")).alias("_w_expiry"),
@@ -89,8 +113,7 @@ def enrich_batch(batch: DataFrame, whois: DataFrame, dns: DataFrame,
     # … else the parent node from previous iterations (prior_nodes is
     # the FULL nodes table — prune before broadcasting)
     prior_parents = dim(
-        prior_nodes,
-        main_keys.withColumnRenamed("main_domain", "domain_name"),
+        prior_nodes, main_list, main_keys, "main_domain",
         "domain_name").select(
         F.col("domain_name").alias("main_domain"),
         F.col("created_date").alias("_pp_created"),
@@ -117,15 +140,13 @@ def enrich_batch(batch: DataFrame, whois: DataFrame, dns: DataFrame,
                       .otherwise(F.col("_pp_registrar"))))
 
     # --- DNS + parent-NS fallback + ASN
-    d_own = dim(dns, dom_keys.withColumnRenamed("domain_name",
-                                                      "domain"),
-                     "domain").select(F.col("domain").alias("domain_name"),
+    d_own = dim(dns, dom_list, dom_keys, "domain_name",
+                "domain").select(F.col("domain").alias("domain_name"),
                        F.col("nameservers").alias("_ns_own"),
                        F.col("ip_address").alias("ip_address"),
                        F.col("asn"), F.col("asn_description"))
-    d_parent = dim(dns, main_keys.withColumnRenamed("main_domain",
-                                                          "domain"),
-                        "domain").select(F.col("domain").alias("main_domain"),
+    d_parent = dim(dns, main_list, main_keys, "main_domain",
+                   "domain").select(F.col("domain").alias("main_domain"),
                           F.col("nameservers").alias("_ns_parent"))
     df = (df
           .join(bc(d_own), "domain_name", "left")
@@ -136,15 +157,18 @@ def enrich_batch(batch: DataFrame, whois: DataFrame, dns: DataFrame,
                       .otherwise(F.lit(None))))
 
     # --- SSL: missing row == failed handshake → ssl_valid false
-    s = dim(ssl, dom_keys.withColumnRenamed("domain_name", "domain"),
-                 "domain").select(F.col("domain").alias("domain_name"),
+    s = dim(ssl, dom_list, dom_keys, "domain_name",
+            "domain").select(F.col("domain").alias("domain_name"),
                    F.col("ssl_valid").alias("_ssl_valid"),
                    F.col("ssl_expiry").alias("ssl_expiry"))
     df = (df.join(bc(s), "domain_name", "left")
           .withColumn("ssl_valid", F.coalesce(F.col("_ssl_valid"), F.lit(False))))
 
-    # --- geolocation by the dns-resolved ip
-    g = dim(geo, d_own.select("ip_address"), "ip_address") \
+    # --- geolocation by the dns-resolved ip: the key set is data-
+    # dependent (resolved ips), so this prune stays a semi-join — but
+    # its keys side is now the isin-filtered dns scan, not a join tree
+    g = (_bounded(geo, d_own.select("ip_address"), "ip_address")
+         if small_batch else geo) \
         .select(F.col("ip_address"),
                    F.col("latitude"), F.col("longitude"), F.col("country"))
     df = df.join(bc(g), "ip_address", "left")

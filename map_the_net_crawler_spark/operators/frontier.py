@@ -50,20 +50,54 @@ def claim_batch(frontier: DataFrame, cfg: CrawlConfig,
         if salt_buckets > 1:
             sub_quota = -(-politeness_budget // salt_buckets)  # ceil
             salt = F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
-            w = (Window.partitionBy("domain_name", salt)
-                 .orderBy(F.col("priority").desc(), F.col("discovery_seq").asc()))
-            pending = (pending.withColumn("_dr", F.row_number().over(w))
-                       .filter(F.col("_dr") <= sub_quota).drop("_dr"))
         else:
-            w = (Window.partitionBy("domain_name")
-                 .orderBy(F.col("priority").desc(), F.col("discovery_seq").asc()))
-            pending = (pending.withColumn("_dr", F.row_number().over(w))
-                       .filter(F.col("_dr") <= politeness_budget).drop("_dr"))
+            sub_quota = politeness_budget
+            salt = F.lit(0)
+        # bound the rank window's shuffle INPUT first: an Arrow-local
+        # per-(domain, salt) top-sub_quota pre-filter runs on the scan
+        # partitions with no shuffle, so the window below shuffles
+        # ∝ groups × quota candidate rows instead of the whole pending
+        # frontier (VERDICT r4 item 2 — the politeness scale fix)
+        pending = _local_domain_topk(pending.withColumn("_salt", salt),
+                                     sub_quota)
+        w = (Window.partitionBy("domain_name", "_salt")
+             .orderBy(F.col("priority").desc(),
+                      F.col("discovery_seq").asc()))
+        pending = (pending.withColumn("_dr", F.row_number().over(w))
+                   .filter(F.col("_dr") <= sub_quota).drop("_dr", "_salt"))
     # TakeOrderedAndProject: distributed top-k, then rank the ≤k survivors
     # (the final row_number window runs on at most k rows).
     topk = pending.orderBy(*claim_order()).limit(cfg.max_items)
     w_rank = Window.orderBy(*claim_order())
     return topk.withColumn("claim_rank", F.row_number().over(w_rank))
+
+
+def _local_domain_topk(pending: DataFrame, quota: int) -> DataFrame:
+    """Shuffle-free candidate bound for the politeness rank window.
+
+    Keeps, within every Arrow batch, each (domain_name, _salt) group's
+    top-``quota`` rows by (priority DESC, discovery_seq ASC).  Sound
+    because that order is total (discovery_seq is unique): a row in its
+    group's GLOBAL top-quota is in the top-quota of every subset that
+    contains it, so the local filter can only drop rows the global
+    window would drop anyway — the downstream row_number ≤ quota result
+    is identical (pinned by the politeness property/equivalence tests).
+    """
+    schema = pending.schema
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            opdf = pdf.sort_values(["priority", "discovery_seq"],
+                                   ascending=[False, True],
+                                   kind="mergesort")
+            keep = (opdf.groupby(["domain_name", "_salt"], sort=False)
+                    .cumcount() < quota)
+            yield opdf[keep]
+
+    return pending.mapInPandas(fn, schema)
 
 
 def apply_claim_gates(claimed: DataFrame, seen_counts: DataFrame,

@@ -70,6 +70,9 @@ class IterationResult:
     new_urls: int
     next_seq: int
     timings: dict | None = None
+    # file-skipping telemetry from the stats-pruned claim read
+    # ({'pruned', 'files_opened', 'files_total', 'delta_parts'})
+    claim_io: dict | None = None
 
 
 def _empty(spark: SparkSession, schema) -> DataFrame:
@@ -92,7 +95,8 @@ class _Timer:
         self.t = now
 
 
-def complete_data_domains(nodes: DataFrame, batch_domains: DataFrame
+def complete_data_domains(nodes: DataFrame, batch_domains: DataFrame,
+                          domain_list: list[str] | None = None
                           ) -> DataFrame:
     """F13 complete-data short-circuit key set (database.py:663-687):
     domains whose node already has title+description+ip skip the
@@ -100,13 +104,18 @@ def complete_data_domains(nodes: DataFrame, batch_domains: DataFrame
     broadcast: the global complete set grows with the whole crawl and
     would eventually be unbroadcastable, while only batch keys can ever
     match the downstream anti-join (plan-pinned by tests/test_plans.py::
-    TestBoundedBroadcasts)."""
-    return (nodes.filter(F.col("title").isNotNull()
-                         & F.col("description").isNotNull()
-                         & F.col("ip_address").isNotNull())
-            .select("domain_name")
-            .join(F.broadcast(batch_domains.select("domain_name").distinct()),
-                  "domain_name", "left_semi"))
+    TestBoundedBroadcasts).  ``domain_list`` (a caller-collected batch
+    key list) turns the prune into a literal in-filter pushed into the
+    nodes scan — same rows, one broadcast subtree fewer."""
+    flt = (nodes.filter(F.col("title").isNotNull()
+                        & F.col("description").isNotNull()
+                        & F.col("ip_address").isNotNull())
+           .select("domain_name"))
+    if domain_list is not None:
+        return flt.filter(F.col("domain_name").isin(domain_list))
+    return flt.join(F.broadcast(batch_domains.select("domain_name")
+                                .distinct()),
+                    "domain_name", "left_semi")
 
 
 def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
@@ -128,7 +137,17 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     # stage (fetch, nodes, links, seen, frontier, metrics) re-reads this
     # ≤k-row parquet instead of re-executing the claim top-k, robots UDF
     # and gate windows per action ---------------------------------------
-    claimed = claim_batch(frontier, cfg, politeness_budget, salt_buckets)
+    # Plain-mode claims scan a STATS-PRUNED view: only the data files
+    # whose manifest footer stats can contribute to the pending top-k
+    # are opened (storage.read_claim_candidates — the last O(corpus)
+    # per-iteration read, VERDICT r4 item 1).  Politeness mode can claim
+    # arbitrarily deep per domain, so it keeps the full view (its scale
+    # fix is the shuffle-free local pre-filter inside claim_batch).
+    claim_view, claim_io = frontier, None
+    if politeness_budget == 0:
+        claim_view, claim_io = tio.read_claim_candidates(
+            "frontier", base, cfg.max_items, schema=S.FRONTIER)
+    claimed = claim_batch(claim_view, cfg, politeness_budget, salt_buckets)
 
     # ---- bucket-pruned state reads (the at-scale read path) ------------
     # When the bucketed layout runs with a scale-sized bucket count
@@ -142,6 +161,7 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     # full-table reads stay.
     prune_reads = tio._is_bucketed("frontier") and tio.num_buckets >= 64
     seen_gate_view, nodes_batch_view = seen, nodes
+    batch_domain_list: list[str] | None = None
     if prune_reads:
         from ..operators.enrich import _naive_main
         from ..storage import bucket_of
@@ -151,9 +171,11 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
         tio.write("claimed", claimed, iteration)
         claimed = tio.read("claimed", version=iteration)
         drows = (claimed.select("domain_name").distinct()
-                 .select(bucket_of("domain_name", nb).alias("b"),
+                 .select("domain_name",
+                         bucket_of("domain_name", nb).alias("b"),
                          bucket_of(_naive_main(F.col("domain_name")), nb)
                          .alias("pb")).collect())
+        batch_domain_list = sorted({r["domain_name"] for r in drows})
         seen_gate_view = tio.read_state(
             "seen", version=base, schema=S.SEEN,
             buckets=sorted({r["b"] for r in drows}))
@@ -198,8 +220,20 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     n_skip = int(gm["n_skip"] or 0)
     tmr.lap("claim_count")
     if n_claimed == 0:
-        return IterationResult(iteration, 0, 0, 0, 0, next_seq, tmr.laps)
+        return IterationResult(iteration, 0, 0, 0, 0, next_seq, tmr.laps,
+                               claim_io)
     claimed = gated
+    # batch key list for the literal-isin dim prunes (enrich / complete
+    # set): one tiny collect over the materialized ≤k-row gated parquet
+    # — in prune mode it already rode the bucket collect above.  Guarded
+    # by the in-list ceiling: a scale run with a huge claim batch falls
+    # back to the broadcast semi-join prunes.
+    if batch_domain_list is None:
+        batch_domain_list = sorted({
+            r["domain_name"] for r in
+            gated.select("domain_name").distinct().collect()})
+    if len(batch_domain_list) > cfg.enrich_inlist_max:
+        batch_domain_list = None
 
     to_process = gated.filter(F.col("gate_status") == "process")
     # one fetch per domain; first claim rank represents the domain
@@ -271,7 +305,8 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
 
     if inputs.enrich_enabled:
         meta = enrich_batch(meta, inputs.whois, inputs.dns, inputs.ssl,
-                            inputs.geo, nodes_batch_view)
+                            inputs.geo, nodes_batch_view,
+                            batch_domains=batch_domain_list)
     else:
         meta = (meta
                 .withColumn("created_date", F.lit(None).cast("date"))
@@ -289,7 +324,8 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
                 .withColumn("longitude", F.lit(None).cast("decimal(11,8)")))
 
     # F13 complete-data short-circuit, batch-pruned before broadcast
-    complete = complete_data_domains(nodes_batch_view, meta)
+    complete = complete_data_domains(nodes_batch_view, meta,
+                                     domain_list=batch_domain_list)
     full_updates = (meta.join(F.broadcast(complete), "domain_name", "left_anti")
                     .select(
                         F.xxhash64("domain_name").alias("domain_id"),
@@ -479,7 +515,8 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     if cfg.membership_sketch in ("bloom", "bloom_sharded"):
         from ..sketches import (BloomSketch, ShardedBloomProbe,
                                 bloom_probe_udf, build_bloom,
-                                build_sharded_blooms, update_sharded_blooms)
+                                build_sharded_blooms, update_sharded_blooms,
+                                update_sharded_blooms_delta)
         expected = max(1024, next_seq)
         m, _k = BloomSketch.params_for(expected, cfg.bloom_fpp)
         bitmap_bytes = (m + 7) // 8
@@ -508,11 +545,22 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
                 shards = tio.read("frontier_sketch_build", version=iteration)
             frontier_probe = ShardedBloomProbe(shards, cfg.bloom_shard_parts)
 
-            def sketch_commit(new_df, shards=shards, cap=cap):
-                upd = update_sharded_blooms(shards, new_df, "url",
-                                            cfg.bloom_shard_parts,
-                                            cfg.bloom_fpp)
-                tio.write("frontier_sketch_shards", upd, iteration)
+            def sketch_commit(new_df, shards=shards, cap=cap, reuse=reuse):
+                if reuse:
+                    # O(touched routes) MERGE: only shard blobs owning a
+                    # new url are rewritten; the rest chain by manifest
+                    # reference (ADVICE r4 — was a full blob-table copy)
+                    delta = update_sharded_blooms_delta(
+                        shards, new_df, "url", cfg.bloom_shard_parts,
+                        cfg.bloom_fpp)
+                    tio.merge_state("frontier_sketch_shards", delta,
+                                    iteration, base, None,
+                                    cfg.bloom_shard_parts)
+                else:
+                    upd = update_sharded_blooms(shards, new_df, "url",
+                                                cfg.bloom_shard_parts,
+                                                cfg.bloom_fpp)
+                    tio.write("frontier_sketch_shards", upd, iteration)
                 return {"mode": "sharded", "cap": cap, "version": iteration}
         else:
             if reuse:
@@ -654,4 +702,4 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
         tio.prune(cfg.snapshot_retain, iteration)
 
     return IterationResult(iteration, n_claimed, n_proc, n_skip, n_new,
-                           next_seq + n_new, tmr.laps)
+                           next_seq + n_new, tmr.laps, claim_io)

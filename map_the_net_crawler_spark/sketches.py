@@ -407,17 +407,22 @@ def build_sharded_blooms(df: DataFrame, col: str, n_parts: int,
             .groupBy("route").applyInPandas(build, "route long, blob binary"))
 
 
-def update_sharded_blooms(shards: DataFrame, new_keys: DataFrame, col: str,
-                          n_parts: int, fpp: float = 0.01) -> DataFrame:
-    """Incremental shard-table maintenance — the O(batch) path that
-    replaces a per-iteration O(corpus) rebuild.
+def update_sharded_blooms_delta(shards: DataFrame, new_keys: DataFrame,
+                                col: str, n_parts: int,
+                                fpp: float = 0.01) -> DataFrame:
+    """The TOUCHED-route rows only — the O(touched routes) MERGE delta
+    for a state-table shard commit (TableIO.merge_state on
+    'frontier_sketch_shards').  ADVICE r4: a full snapshot write copied
+    every untouched blob through each iteration — O(total sketch bytes,
+    ~12 GB at the 10^10-URL scale) — while only routes owning a new key
+    actually change; under the manifest layout the untouched blobs now
+    chain by reference.
 
     Only the routes owning a new key are cogrouped and rewritten (one
     task = one touched route's keys + that route's blob, OR-ed executor-
-    side — blobs never touch the driver); untouched shard rows pass
-    through untouched.  A key routing to a shard the original build
-    never created (its route group was empty) gets a fresh
-    appropriately-sized shard.  The no-false-negative contract is
+    side — blobs never touch the driver).  A key routing to a shard the
+    original build never created (its route group was empty) gets a
+    fresh appropriately-sized shard.  The no-false-negative contract is
     preserved by induction: the input table covers the old key set, and
     every new key is OR-ed into its owning shard."""
 
@@ -441,10 +446,28 @@ def update_sharded_blooms(shards: DataFrame, new_keys: DataFrame, col: str,
         sk.add_batch(kpdf["_key"].to_numpy())
         return pd.DataFrame({"route": [route], "blob": [sk.to_bytes()]})
 
-    updated = (shards.join(F.broadcast(touched), "route", "left_semi")
-               .groupby("route")
-               .cogroup(routed.groupby("route"))
-               .applyInPandas(upd, "route long, blob binary"))
+    return (shards.join(F.broadcast(touched), "route", "left_semi")
+            .groupby("route")
+            .cogroup(routed.groupby("route"))
+            .applyInPandas(upd, "route long, blob binary"))
+
+
+def update_sharded_blooms(shards: DataFrame, new_keys: DataFrame, col: str,
+                          n_parts: int, fpp: float = 0.01) -> DataFrame:
+    """Full updated shard table: the untouched rows unioned with the
+    ``update_sharded_blooms_delta`` rewrite (kept for whole-table
+    consumers and the bit-identity tests; per-iteration commits use the
+    delta + MERGE instead)."""
+
+    @pandas_udf("long")
+    def route_udf(s: pd.Series) -> pd.Series:
+        return pd.Series(route_of(s.to_numpy(), n_parts))
+
+    touched = (new_keys.select(F.col(col).alias("_key"))
+               .withColumn("route", route_udf(F.col("_key")))
+               .select("route").distinct())
+    updated = update_sharded_blooms_delta(shards, new_keys, col,
+                                          n_parts, fpp)
     untouched = shards.join(F.broadcast(touched), "route", "left_anti")
     return untouched.unionByName(updated)
 

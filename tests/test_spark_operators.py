@@ -79,6 +79,41 @@ class TestClaim:
         per_dom = (out_s.groupBy("domain_name").count().collect())
         assert all(r["count"] <= 4 for r in per_dom)
 
+    def test_politeness_claims_match_pandas_reference(self, spark):
+        """VERDICT r4 item 2: the shuffle-free _local_domain_topk
+        pre-filter must leave politeness claims IDENTICAL to the plain
+        per-domain rank window — pinned against an independent pandas
+        restatement on skewed multi-partition data (one hub domain owns
+        most pending rows, so local batches disagree with the global
+        rank unless the pre-filter is a true superset)."""
+        import pandas as pd
+
+        n = 5_000
+        rows = [(f"http://hub.com/p{i}" if i % 5 else f"http://d{i}.com/",
+                 "hub.com" if i % 5 else f"d{i}.com", None,
+                 (i * 37) % 100, "pending", i, None, 1, None, None)
+                for i in range(n)]
+        f = spark.createDataFrame(
+            rows, "url string, domain_name string, source_domain string, "
+                  "priority int, status string, discovery_seq long, "
+                  "discovery_ts timestamp, depth int, error_message string, "
+                  "processed_iteration int").repartition(13)
+        budget, k = 3, 50
+        cfg = CrawlConfig(max_items=k)
+        got = [r.url for r in claim_batch(f, cfg, politeness_budget=budget)
+               .orderBy("claim_rank").collect()]
+
+        pdf = pd.DataFrame(rows, columns=[
+            "url", "domain_name", "source_domain", "priority", "status",
+            "discovery_seq", "discovery_ts", "depth", "error_message",
+            "processed_iteration"])
+        pdf = pdf.sort_values(["priority", "discovery_seq"],
+                              ascending=[False, True], kind="mergesort")
+        pdf = pdf[pdf.groupby("domain_name", sort=False).cumcount()
+                  < budget]
+        want = pdf.head(k)["url"].tolist()
+        assert got == want
+
     def test_merge_upsert_greatest_least(self, spark):
         base = spark.createDataFrame(
             [("u1", "d", None, 1, "pending", 0, None, 3, None, None)],

@@ -207,6 +207,31 @@ class TestBucketedLayout:
         # (same batch, same touched-bucket count, same bucket size)
         assert growth[40_000] < 3 * growth[4_000], growth
 
+    def test_pruned_read_io_bounded(self, spark, fixture_paths):
+        """VERDICT r4 item 7: bucket-pruned reads must be pruned at the
+        I/O level (bucket dirs actually resolved into the scan), not
+        just produce identical rows — red if pruning silently degrades
+        to a full read."""
+        tio = TableIO(tempfile.mkdtemp(prefix="mtn_prio_"), spark,
+                      num_buckets=128)
+        run_crawl(spark, tio, _inputs(spark, fixture_paths), CrawlConfig(),
+                  seeds=spark.read.parquet(fixture_paths["frontier_seed"]),
+                  max_iterations=2)
+        # frontier has a seeded bucketed BASE (seen/nodes may still live
+        # entirely in merge deltas after two iterations)
+        man = tio._load_manifest("frontier", None)
+        populated = len(man["buckets"])
+        assert populated > 4
+        some = sorted(man["buckets"])[:3]
+        tio.read_state("frontier", buckets=some)
+        telem = tio.last_base_read
+        assert telem["table"] == "frontier"
+        assert telem["buckets_total"] == populated
+        assert len(telem["paths"]) <= len(some) < populated
+        # negative control: pruning off ⇒ every populated bucket opens
+        tio.read_state("frontier", buckets=None)
+        assert len(tio.last_base_read["paths"]) == populated
+
     def test_retention_gc(self, spark, fixture_paths):
         """snapshot_retain bounds versions per table/bucket while the
         final tables and resume stay intact."""
@@ -227,6 +252,8 @@ class TestBucketedLayout:
         # per bucket: at most the window (1) + the pre-window anchor
         for t in STATE_TABLES:
             tdir = os.path.join(tio.root, t)
+            if not os.path.isdir(tdir):
+                continue  # sketch-shard table only exists in bloom mode
             for e in os.listdir(tdir):
                 if not e.startswith("b") or not e[1:].isdigit():
                     continue
@@ -234,3 +261,107 @@ class TestBucketedLayout:
                 assert len(versions) <= 2, (t, e, versions)
         # retention run uses strictly less disk than the keep-all run
         assert _dir_bytes(tio.root) < _dir_bytes(ref.root)
+
+
+def _synthetic_frontier(spark, n: int, n_domains: int = 97):
+    """n frontier rows, ~2/3 pending, uniform pseudo-random priorities,
+    unique discovery_seq (the claim order is total)."""
+    return spark.range(n).select(
+        F.concat(F.lit("http://d"), (F.col("id") % n_domains),
+                 F.lit(".com/p"), F.col("id")).alias("url"),
+        F.concat(F.lit("d"), (F.col("id") % n_domains),
+                 F.lit(".com")).alias("domain_name"),
+        F.lit(None).cast("string").alias("source_domain"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(1000)).cast("int")
+        .alias("priority"),
+        F.when(F.col("id") % 3 == 0, F.lit("visited"))
+        .otherwise(F.lit("pending")).alias("status"),
+        F.col("id").alias("discovery_seq"),
+        F.lit(DISCOVERY_TS_BASE.replace(tzinfo=None)).cast("timestamp")
+        .alias("discovery_ts"),
+        F.lit(0).alias("depth"),
+        F.lit(None).cast("string").alias("error_message"),
+        F.lit(None).cast("int").alias("processed_iteration"),
+    ).select(*[f.name for f in S.FRONTIER.fields])
+
+
+class TestClaimStatsPruning:
+    """read_claim_candidates: manifest per-file footer stats skip base
+    data files that provably cannot contribute to the pending top-k
+    (VERDICT r4 item 1 — the last O(corpus) per-iteration read)."""
+
+    def _claims(self, view, cfg):
+        from map_the_net_crawler_spark.operators.frontier import claim_batch
+        return [tuple(r) for r in
+                claim_batch(view, cfg).orderBy("claim_rank").collect()]
+
+    def test_claim_identity_and_delta_masking(self, spark):
+        """Pruned-view claims == full-read claims, including after a
+        MERGE delta that masks top-priority base rows (the k+D slack in
+        the τ bound) and adds new above-everything candidates."""
+        from map_the_net_crawler_spark.operators.frontier import claim_order
+        cfg = CrawlConfig()
+        tio = TableIO(tempfile.mkdtemp(prefix="mtn_cs_"), spark,
+                      num_buckets=16, stats_max_records_per_file=512)
+        tio.write("frontier", _synthetic_frontier(spark, 12_000), 0)
+        view, info = tio.read_claim_candidates("frontier", None,
+                                               cfg.max_items)
+        assert info["pruned"]
+        assert info["files_opened"] < info["files_total"]
+        full = tio.read_state("frontier", schema=S.FRONTIER)
+        assert self._claims(view, cfg) == self._claims(full, cfg)
+
+        # delta: mask the current top-5 (flip to visited) + 5 new
+        # max-priority pending rows
+        top5 = (full.filter(F.col("status") == "pending")
+                .orderBy(*claim_order()).limit(5)
+                .withColumn("status", F.lit("visited")))
+        newbies = _synthetic_frontier(spark, 5).select(
+            F.concat(F.lit("http://new"), F.col("discovery_seq"),
+                     F.lit(".org/")).alias("url"),
+            F.concat(F.lit("new"), F.col("discovery_seq"),
+                     F.lit(".org")).alias("domain_name"),
+            "source_domain",
+            F.lit(5000).alias("priority"), "status",
+            (F.col("discovery_seq") + 1_000_000).alias("discovery_seq"),
+            "discovery_ts", "depth", "error_message",
+            "processed_iteration",
+        ).withColumn("status", F.lit("pending")) \
+         .select(*[f.name for f in S.FRONTIER.fields])
+        tio.merge_state("frontier", top5.unionByName(newbies), 1, 0)
+
+        view1, info1 = tio.read_claim_candidates("frontier", None,
+                                                 cfg.max_items)
+        full1 = tio.read_state("frontier", schema=S.FRONTIER)
+        got = self._claims(view1, cfg)
+        assert got == self._claims(full1, cfg)
+        # the masked urls are gone, the new candidates lead the claim
+        urls = [r[0] for r in got]
+        masked = {r.url for r in top5.collect()}
+        assert not masked & set(urls)
+        assert all(u.startswith("http://new") for u in urls[:5])
+
+    def test_files_opened_flat_as_corpus_grows(self, spark):
+        """VERDICT r4 item 1 'done' criterion: files opened by the
+        claim read stay bounded as the pending frontier grows 10×
+        (file-count growth goes to files_total, not files_opened)."""
+        stats = {}
+        for n in (20_000, 200_000):
+            tio = TableIO(tempfile.mkdtemp(prefix=f"mtn_cf_{n}_"),
+                          spark, num_buckets=8,
+                          stats_max_records_per_file=1024)
+            tio.write("frontier", _synthetic_frontier(spark, n), 0)
+            cfg = CrawlConfig()
+            view, info = tio.read_claim_candidates("frontier", None,
+                                                   cfg.max_items)
+            assert info["pruned"]
+            full = tio.read_state("frontier", schema=S.FRONTIER)
+            assert self._claims(view, cfg) == self._claims(full, cfg)
+            stats[n] = info
+        assert stats[200_000]["files_total"] \
+            >= 5 * stats[20_000]["files_total"]
+        assert stats[200_000]["files_opened"] \
+            <= 3 * stats[20_000]["files_opened"], stats
+        # and the big corpus skips the overwhelming majority of files
+        assert stats[200_000]["files_opened"] \
+            <= stats[200_000]["files_total"] // 4, stats
