@@ -164,6 +164,7 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     batch_domain_list: list[str] | None = None
     if prune_reads:
         from ..operators.enrich import _naive_main
+        from ..psl import naive_main_domain
         from ..storage import bucket_of
         nb = tio.num_buckets
         # snapshot the bare claim once so the bucket collect below and
@@ -176,13 +177,21 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
                          bucket_of(_naive_main(F.col("domain_name")), nb)
                          .alias("pb")).collect())
         batch_domain_list = sorted({r["domain_name"] for r in drows})
-        seen_gate_view = tio.read_state(
-            "seen", version=base, schema=S.SEEN,
-            buckets=sorted({r["b"] for r in drows}))
-        nodes_batch_view = tio.read_state(
-            "nodes", version=base, schema=S.NODES,
-            buckets=sorted({r["b"] for r in drows}
-                           | {r["pb"] for r in drows}))
+        # registrable parents for the WHOIS-inheritance lookup, derived
+        # driver-side (Python twin of _naive_main, pinned by the
+        # q_naive_main_domain oracle) paired with the parent bucket ids
+        # that rode the same single collect — key→bucket maps let the
+        # keyed read skip whole buckets, not just files
+        seen_kb = {r["domain_name"]: r["b"] for r in drows}
+        nodes_kb = dict(seen_kb)
+        for r in drows:
+            nodes_kb[naive_main_domain(r["domain_name"])] = r["pb"]
+        seen_gate_view, _seen_io = tio.read_keyed_state(
+            "seen", base, keys=batch_domain_list,
+            key_buckets=seen_kb, schema=S.SEEN)
+        nodes_batch_view, _nodes_io = tio.read_keyed_state(
+            "nodes", base, keys=sorted(nodes_kb),
+            key_buckets=nodes_kb, schema=S.NODES)
 
     robots_udf = make_robots_udf(cfg.http_user_agent)
     domains = claimed.select("domain_name").distinct()
@@ -371,11 +380,13 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     seen_tgt_view = seen
     if prune_reads:
         from ..storage import bucket_of
-        tgt_b = sorted({r["b"] for r in valid.select(
-            bucket_of("target_domain", tio.num_buckets).alias("b"))
-            .distinct().collect()})
-        seen_tgt_view = tio.read_state("seen", version=base, schema=S.SEEN,
-                                       buckets=tgt_b)
+        trows = (valid.select(F.col("target_domain").alias("k"),
+                              bucket_of("target_domain", tio.num_buckets)
+                              .alias("b"))
+                 .distinct().collect())
+        seen_tgt_view, _tgt_io = tio.read_keyed_state(
+            "seen", base, keys=sorted({r["k"] for r in trows}),
+            key_buckets={r["k"]: r["b"] for r in trows}, schema=S.SEEN)
     scounts_targets = seen_counts_pruned(
         seen_tgt_view,
         valid.select(F.col("target_domain").alias("domain_name")))
@@ -417,20 +428,28 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
                                   .select(F.col("redirect_final_domain")
                                           .alias("domain_name"))))
         key_sets = [
-            rels.select(F.lit("cand").alias("t"),
+            rels.select(F.lit("cand").alias("t"), F.lit(None).alias("k"),
                         bucket_of("clean_url", nb).alias("b")),
             node_doms.select(F.lit("nodes").alias("t"),
+                             F.col("domain_name").alias("k"),
                              bucket_of("domain_name", nb).alias("b")),
         ]
-        buckets: dict[str, list[int]] = {"cand": [], "nodes": []}
+        buckets: dict[str, set[int]] = {"cand": set(), "nodes": set()}
+        node_kb: dict[str, int] = {}
         for r in reduce(DataFrame.unionByName, key_sets).distinct().collect():
-            buckets.setdefault(r["t"], []).append(r["b"])
-        nodes_touch_view = tio.read_state("nodes", version=base,
-                                          schema=S.NODES,
-                                          buckets=buckets["nodes"])
+            buckets.setdefault(r["t"], set()).add(r["b"])
+            if r["t"] == "nodes":
+                node_kb[r["k"]] = r["b"]
+        # nodes: bucket prune + file-grain key-range skip (same single
+        # collect also carries the touched key→bucket map); frontier
+        # keys: bucket prune only — frontier files are sorted by claim
+        # stats (status/priority/seq), so url ranges are unselective
+        nodes_touch_view, _touch_io = tio.read_keyed_state(
+            "nodes", base, keys=sorted(node_kb),
+            key_buckets=node_kb, schema=S.NODES)
         frontier_keys_view = tio.read_state("frontier", version=base,
                                             schema=S.FRONTIER,
-                                            buckets=buckets["cand"])
+                                            buckets=sorted(buckets["cand"]))
     tmr.lap("touched_buckets")
 
     # ---- minimal node rows for targets + redirect finals (J2) ----------

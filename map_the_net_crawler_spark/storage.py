@@ -82,9 +82,15 @@ STATE_TABLES: dict[str, dict] = {
                  "stats_cols": ["status", "priority", "discovery_seq"]},
     # seen is bucketed by domain so per-domain history counts
     # (seen_counts_pruned) can bucket-prune their scan; the merge
-    # identity stays the url (database.py:153 UNIQUE(url))
-    "seen": {"bucket_key": "domain_name", "merge_keys": ["url"]},
-    "nodes": {"bucket_key": "domain_name", "merge_keys": ["domain_name"]},
+    # identity stays the url (database.py:153 UNIQUE(url)).  The
+    # domain_name stats (files sorted by domain, min/max per footer)
+    # additionally let keyed reads skip files WITHIN a bucket whose key
+    # range cannot contain any requested domain (read_keyed_state) —
+    # pruning grain ∝ file size instead of bucket size.
+    "seen": {"bucket_key": "domain_name", "merge_keys": ["url"],
+             "stats_cols": ["domain_name"]},
+    "nodes": {"bucket_key": "domain_name", "merge_keys": ["domain_name"],
+              "stats_cols": ["domain_name"]},
     "edges": {"bucket_key": "src_domain",
               "merge_keys": ["src_domain", "dst_domain",
                              "relationship_type"]},
@@ -662,6 +668,94 @@ class TableIO:
         res = self._resolved_deltas(name, man["deltas"], schema)
         keys = res.select(*spec["merge_keys"]).distinct()
         df = (base.join(F.broadcast(keys), spec["merge_keys"], "left_anti")
+              .unionByName(res)
+              .select(*[f.name for f in schema.fields]))
+        return df, info
+
+    def read_keyed_state(self, name: str, version: int | None,
+                         keys: list[str],
+                         buckets: list[int] | None = None,
+                         key_buckets: dict[str, int] | None = None,
+                         schema: T.StructType | None = None
+                         ) -> tuple[DataFrame, dict]:
+        """Merge-on-read view that provably contains EVERY row whose
+        key column (``stats_cols[0]``, e.g. seen/nodes domain_name)
+        is in ``keys`` — rows of other keys may be absent.  The base
+        scan opens only data files whose footer [min, max] key range
+        intersects the key set (Iceberg min/max file skipping over the
+        manifest's per-file stats; VERDICT r4 item 8), on top of the
+        bucket-grain prune when ``buckets`` is given.  Valid ONLY for
+        consumers that filter/join the view on ``keys`` — the
+        batch-bounded gate/enrich lookups.
+
+        ``key_buckets`` maps each key to the bucket it hashes to (the
+        writer's ``bucket_of(key)`` — callers already collect the pair).
+        With it, each file's range is tested ONLY against its own
+        bucket's keys, and buckets holding no requested key are skipped
+        outright — without it, every key must be tested against every
+        bucket's files and the sorted-range skip degrades to ~1 file
+        per (key × bucket).  Sound because a key's rows can only live
+        in its own hash bucket.
+
+        Parquet writers may truncate string min/max, but only to a
+        WIDER bound (prefix-truncated min ≤ true min, incremented
+        prefix max ≥ true max), so the intersection test stays sound.
+        Falls back to the plain (bucket-pruned) read when stats are
+        missing (``info['pruned']=False``)."""
+        import bisect
+        schema = self._state_schema(name, schema)
+        spec = STATE_TABLES.get(name, {})
+        stats_cols = spec.get("stats_cols")
+        if not (self._is_bucketed(name) and stats_cols):
+            return self.read_state(name, version, buckets=buckets,
+                                   schema=schema), {"pruned": False}
+        man = self._load_manifest(name, version)
+        bmap = dict(man["buckets"])
+        if buckets is None and key_buckets is not None:
+            buckets = sorted({int(b) for b in key_buckets.values()})
+        if buckets is not None:
+            sel = {int(b) for b in buckets}
+            bmap = {k: v for k, v in bmap.items() if k in sel}
+        bf = man["bucket_files"]
+        if not set(bmap) <= set(bf):
+            return self.read_state(name, version, buckets=buckets,
+                                   schema=schema), {"pruned": False}
+        kcol = stats_cols[0]
+        per_bucket: dict[int, list[str]] | None = None
+        if key_buckets is not None:
+            per_bucket = {}
+            for kk, b in key_buckets.items():
+                per_bucket.setdefault(int(b), []).append(kk)
+            for b in per_bucket:
+                per_bucket[b].sort()
+        ks_all = sorted(set(keys))
+        paths, total_files = [], 0
+        for b, v in sorted(bmap.items()):
+            vdir = os.path.join(self._bucket_dir(name, b), f"v{v:06d}")
+            ks = ks_all if per_bucket is None else per_bucket.get(b, [])
+            for ent in bf[b]:
+                total_files += 1
+                if not ks:
+                    continue        # no requested key hashes here
+                rng = ent.get(kcol)
+                if rng is not None:
+                    i = bisect.bisect_left(ks, rng[0])
+                    if i >= len(ks) or ks[i] > rng[1]:
+                        continue    # no requested key in [min, max]
+                paths.append(os.path.join(vdir, ent["path"]))
+        info = {"pruned": True, "files_opened": len(paths),
+                "files_total": total_files,
+                "delta_parts": len(man["deltas"])}
+        self.last_base_read = {"table": name,
+                               "buckets_total": len(man["buckets"]),
+                               "paths": paths}
+        base = (self.spark.read.schema(schema).parquet(*paths) if paths
+                else self.spark.createDataFrame([], schema))
+        if not man["deltas"]:
+            return base, info
+        res = self._resolved_deltas(name, man["deltas"], schema, buckets)
+        mkeys = res.select(*spec["merge_keys"]).distinct()
+        df = (base.join(F.broadcast(mkeys), spec["merge_keys"], "left_anti")
               .unionByName(res)
               .select(*[f.name for f in schema.fields]))
         return df, info

@@ -365,3 +365,115 @@ class TestClaimStatsPruning:
         # and the big corpus skips the overwhelming majority of files
         assert stats[200_000]["files_opened"] \
             <= stats[200_000]["files_total"] // 4, stats
+
+
+class TestKeyedReads:
+    """read_keyed_state (VERDICT r4 item 8): seen/nodes lookups keyed by
+    a batch-bounded domain set must skip data FILES whose footer key
+    range cannot contain any requested key — pruning grain ∝ file size,
+    active at any bucket count — while staying row-identical (for the
+    requested keys) to the full read, including under a pending
+    merge-on-read delta log."""
+
+    @staticmethod
+    def _seen_rows(n):
+        return [("https://d%04d.com/p%d" % (i, j), "d%04d.com" % i,
+                 "success", j, 0)
+                for i in range(n) for j in range(3)]
+
+    def test_keyed_read_identity_and_file_skip(self, spark):
+        tio = TableIO(tempfile.mkdtemp(prefix="mtn_keyed_"), spark,
+                      num_buckets=4, stats_max_records_per_file=64)
+        tio.write("seen", spark.createDataFrame(self._seen_rows(400),
+                                                S.SEEN), 0)
+        keys = ["d0007.com", "d0123.com", "d0391.com"]
+        kb = {r["domain_name"]: r["b"] for r in
+              spark.createDataFrame([(k,) for k in keys],
+                                    "domain_name string")
+              .select("domain_name",
+                      bucket_of("domain_name", 4).alias("b")).collect()}
+        view, info = tio.read_keyed_state("seen", None, keys=keys,
+                                          key_buckets=kb, schema=S.SEEN)
+        assert info["pruned"]
+        # with key→bucket routing each key touches ≤2 sorted files in
+        # its own bucket (1 + straddling a split boundary); files_total
+        # counts only the routed buckets' files
+        assert info["files_opened"] <= 2 * len(keys), info
+        assert info["files_opened"] < info["files_total"], info
+        full = tio.read_state("seen", schema=S.SEEN)
+        want = sorted(map(tuple, full.filter(
+            F.col("domain_name").isin(keys)).collect()))
+        got = sorted(map(tuple, view.filter(
+            F.col("domain_name").isin(keys)).collect()))
+        assert got == want and len(got) == 9
+        # without the routing, pruning is weaker (every key tested
+        # against every bucket's ranges) but must stay sound
+        view2, info2 = tio.read_keyed_state("seen", None, keys=keys,
+                                            schema=S.SEEN)
+        assert info2["pruned"]
+        # unrouted read scans every bucket's file list
+        assert info2["files_total"] >= 12
+        assert info2["files_opened"] >= info["files_opened"]
+        assert info2["files_opened"] < info2["files_total"]
+        got2 = sorted(map(tuple, view2.filter(
+            F.col("domain_name").isin(keys)).collect()))
+        assert got2 == want
+
+    def test_keyed_read_with_delta_overlay(self, spark):
+        tio = TableIO(tempfile.mkdtemp(prefix="mtn_keyedd_"), spark,
+                      num_buckets=4, compact_every=10,
+                      stats_max_records_per_file=64)
+        tio.write("seen", spark.createDataFrame(self._seen_rows(200),
+                                                S.SEEN), 0)
+        # delta: update one url of an existing domain + a new domain
+        delta = spark.createDataFrame(
+            [("https://d0005.com/p0", "d0005.com", "failed", 9, 1),
+             ("https://new.com/p0", "new.com", "success", 1, 1)], S.SEEN)
+        tio.merge_state("seen", delta, 1, 0)
+        keys = ["d0005.com", "new.com", "d0150.com"]
+        view, info = tio.read_keyed_state("seen", 1, keys=keys,
+                                          schema=S.SEEN)
+        assert info["pruned"] and info["delta_parts"] == 1
+        got = {(r.url, r.status, r.links_found)
+               for r in view.filter(F.col("domain_name").isin(keys))
+               .collect()}
+        assert ("https://d0005.com/p0", "failed", 9) in got
+        assert ("https://new.com/p0", "success", 1) in got
+        assert len(got) == 3 + 1 + 3  # d0005 still has its other 2 urls
+
+    def test_keyed_read_bucket_and_file_prune_compose(self, spark):
+        """key_buckets routes the prune: only the owning bucket's dirs
+        are listed, the key range skips files inside it; identity
+        holds."""
+        tio = TableIO(tempfile.mkdtemp(prefix="mtn_keyedb_"), spark,
+                      num_buckets=8, stats_max_records_per_file=32)
+        tio.write("seen", spark.createDataFrame(self._seen_rows(300),
+                                                S.SEEN), 0)
+        keys = ["d0042.com"]
+        brow = (spark.createDataFrame([(k,) for k in keys],
+                                      "domain_name string")
+                .select(bucket_of("domain_name", 8).alias("b")).collect())
+        view, info = tio.read_keyed_state(
+            "seen", None, keys=keys,
+            key_buckets={keys[0]: brow[0]["b"]}, schema=S.SEEN)
+        assert info["pruned"] and info["files_opened"] <= 2
+        # total reflects only the owning bucket's files (others skipped
+        # at the directory grain)
+        assert info["files_total"] <= 4, info
+        assert sorted(r.url for r in view
+                      .filter(F.col("domain_name") == "d0042.com")
+                      .collect()) == ["https://d0042.com/p%d" % j
+                                      for j in range(3)]
+
+    def test_keyed_read_fallback_without_stats(self, spark):
+        """a table without stats_cols (edges) falls back to the plain
+        bucket-pruned read, flagged un-pruned."""
+        tio = TableIO(tempfile.mkdtemp(prefix="mtn_keyedf_"), spark,
+                      num_buckets=4)
+        rows = [("a.com", "b.com", "link", "t", "u", 0)]
+        edges = spark.createDataFrame(rows, S.EDGES)
+        tio.write("edges", edges, 0)
+        view, info = tio.read_keyed_state("edges", None, keys=["a.com"],
+                                          schema=S.EDGES)
+        assert not info["pruned"]
+        assert view.count() == 1
