@@ -101,15 +101,19 @@ def enrich_batch(batch: DataFrame, whois: DataFrame, dns: DataFrame,
         normalize_date(F.col("created_date_raw")).alias("_w_created"),
         normalize_date(F.col("expiry_date_raw")).alias("_w_expiry"),
         F.col("registrar").alias("_w_registrar"))
-    df = df.join(bc(w), "main_domain", "left")
 
-    # whois-copy for subdomains: parent processed earlier in this batch …
-    batch_parents = df.filter(F.col("domain_name") == F.col("main_domain")) \
-        .select(F.col("domain_name").alias("main_domain"),
-                F.col("batch_rank").alias("_p_rank"),
-                F.col("_w_created").alias("_bp_created"),
-                F.col("_w_expiry").alias("_bp_expiry"),
-                F.col("_w_registrar").alias("_bp_registrar"))
+    # whois-copy for subdomains: parent processed earlier in this batch
+    # (the parent's visible values are exactly its own w-row) …
+    batch_parents = (batch
+                     .filter(F.col("domain_name")
+                             == _naive_main(F.col("domain_name")))
+                     .select(F.col("domain_name").alias("main_domain"),
+                             F.col("batch_rank").alias("_p_rank"))
+                     .join(w, "main_domain", "left")
+                     .select("main_domain", "_p_rank",
+                             F.col("_w_created").alias("_bp_created"),
+                             F.col("_w_expiry").alias("_bp_expiry"),
+                             F.col("_w_registrar").alias("_bp_registrar")))
     # … else the parent node from previous iterations (prior_nodes is
     # the FULL nodes table — prune before broadcasting)
     prior_parents = dim(
@@ -119,10 +123,35 @@ def enrich_batch(batch: DataFrame, whois: DataFrame, dns: DataFrame,
         F.col("created_date").alias("_pp_created"),
         F.col("expiry_date").alias("_pp_expiry"),
         F.col("registrar").alias("_pp_registrar"))
+    d_parent = dim(dns, main_list, main_keys, "main_domain",
+                   "domain").select(F.col("domain").alias("main_domain"),
+                          F.col("nameservers").alias("_ns_parent"))
+    # every main_domain-keyed dim is unique on its key, so fusing them
+    # with full-outer joins and LEFT-joining df once is row-identical to
+    # four successive left joins — but costs ONE broadcast exchange
+    # instead of four (VERDICT r4 item 3, the nodes_batch-stage F-term)
+    mains_dim = (w
+                 .join(batch_parents, "main_domain", "full_outer")
+                 .join(prior_parents, "main_domain", "full_outer")
+                 .join(d_parent, "main_domain", "full_outer"))
+
+    # --- DNS + ASN + SSL, both unique on domain_name — same fusion
+    d_own = dim(dns, dom_list, dom_keys, "domain_name",
+                "domain").select(F.col("domain").alias("domain_name"),
+                       F.col("nameservers").alias("_ns_own"),
+                       F.col("ip_address").alias("ip_address"),
+                       F.col("asn"), F.col("asn_description"))
+    # SSL: missing row == failed handshake → ssl_valid false
+    s = dim(ssl, dom_list, dom_keys, "domain_name",
+            "domain").select(F.col("domain").alias("domain_name"),
+                   F.col("ssl_valid").alias("_ssl_valid"),
+                   F.col("ssl_expiry").alias("ssl_expiry"))
+    dom_dim = d_own.join(s, "domain_name", "full_outer")
+
     is_main = F.col("domain_name") == F.col("main_domain")
     df = (df
-          .join(bc(batch_parents), "main_domain", "left")
-          .join(bc(prior_parents), "main_domain", "left")
+          .join(bc(mains_dim), "main_domain", "left")
+          .join(bc(dom_dim), "domain_name", "left")
           .withColumn("_bp_visible",
                       F.col("_p_rank").isNotNull()
                       & (F.col("_p_rank") < F.col("batch_rank")))
@@ -137,32 +166,13 @@ def enrich_batch(batch: DataFrame, whois: DataFrame, dns: DataFrame,
           .withColumn("registrar",
                       F.when(is_main, F.col("_w_registrar"))
                       .when(F.col("_bp_visible"), F.col("_bp_registrar"))
-                      .otherwise(F.col("_pp_registrar"))))
-
-    # --- DNS + parent-NS fallback + ASN
-    d_own = dim(dns, dom_list, dom_keys, "domain_name",
-                "domain").select(F.col("domain").alias("domain_name"),
-                       F.col("nameservers").alias("_ns_own"),
-                       F.col("ip_address").alias("ip_address"),
-                       F.col("asn"), F.col("asn_description"))
-    d_parent = dim(dns, main_list, main_keys, "main_domain",
-                   "domain").select(F.col("domain").alias("main_domain"),
-                          F.col("nameservers").alias("_ns_parent"))
-    df = (df
-          .join(bc(d_own), "domain_name", "left")
-          .join(bc(d_parent), "main_domain", "left")
+                      .otherwise(F.col("_pp_registrar")))
           .withColumn("nameservers",
                       F.when(F.col("_ns_own").isNotNull(), F.col("_ns_own"))
                       .when(~is_main, F.col("_ns_parent"))
-                      .otherwise(F.lit(None))))
-
-    # --- SSL: missing row == failed handshake → ssl_valid false
-    s = dim(ssl, dom_list, dom_keys, "domain_name",
-            "domain").select(F.col("domain").alias("domain_name"),
-                   F.col("ssl_valid").alias("_ssl_valid"),
-                   F.col("ssl_expiry").alias("ssl_expiry"))
-    df = (df.join(bc(s), "domain_name", "left")
-          .withColumn("ssl_valid", F.coalesce(F.col("_ssl_valid"), F.lit(False))))
+                      .otherwise(F.lit(None)))
+          .withColumn("ssl_valid",
+                      F.coalesce(F.col("_ssl_valid"), F.lit(False))))
 
     # --- geolocation by the dns-resolved ip: the key set is data-
     # dependent (resolved ips), so this prune stays a semi-join — but
