@@ -61,6 +61,14 @@ class CrawlConfig:
     # in-filter (no broadcast subtree per dim); above it they fall back
     # to the broadcast semi-join (a 100k-literal in-list bloats codegen)
     enrich_inlist_max: int = 2048
+    # batch-bounded state reads (seen gates / nodes enrich / touched
+    # views) switch from full-table scans to bucket- and file-pruned
+    # keyed reads when the table's manifest row count reaches this
+    # many rows — the point where the saved scan outweighs the tiny
+    # per-iteration key collects.  Scale-sized bucket counts (>= 64)
+    # enable the path regardless (bucket count ∝ corpus there, so the
+    # table is big by construction).
+    prune_reads_min_rows: int = 250_000
     # snapshot retention: keep this many trailing versions per state
     # table/bucket (plus the latest one at-or-before the window start so
     # reads at any retained version still resolve), pruned at commit.

@@ -150,16 +150,21 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     claimed = claim_batch(claim_view, cfg, politeness_budget, salt_buckets)
 
     # ---- bucket-pruned state reads (the at-scale read path) ------------
-    # When the bucketed layout runs with a scale-sized bucket count
-    # (>= 64 — the Iceberg-style sizing where bucket count ∝ corpus),
-    # every state-table read whose join keys are batch-bounded opens
-    # ONLY the owning buckets: seen for the quota gates (claim domains),
-    # nodes for enrich/complete (claim domains + registrable parents).
-    # Bit-identical by construction — a key can only match rows in its
-    # own bucket.  Below the threshold (sandbox default 32) the extra
-    # tiny collect costs more than the full scans it saves, so the
-    # full-table reads stay.
-    prune_reads = tio._is_bucketed("frontier") and tio.num_buckets >= 64
+    # Every state-table read whose join keys are batch-bounded can open
+    # ONLY the owning buckets/files: seen for the quota gates (claim
+    # domains), nodes for enrich/complete (claim domains + registrable
+    # parents).  Bit-identical by construction — a key can only match
+    # rows in its own bucket.  The path activates when the saved scan
+    # plausibly outweighs its tiny per-iteration key collects: either a
+    # scale-sized bucket count (>= 64, the Iceberg sizing where bucket
+    # count ∝ corpus) or — at ANY bucket count — once the seen/nodes
+    # manifests report >= cfg.prune_reads_min_rows rows (so a long
+    # sandbox-bucketed run still stops scanning its whole history).
+    prune_reads = tio._is_bucketed("frontier") and (
+        tio.num_buckets >= 64
+        or max(tio.state_rows("seen", base) or 0,
+               tio.state_rows("nodes", base) or 0)
+        >= cfg.prune_reads_min_rows)
     seen_gate_view, nodes_batch_view = seen, nodes
     batch_domain_list: list[str] | None = None
     if prune_reads:

@@ -385,6 +385,17 @@ class TableIO:
                 "delta_files": {int(k): x for k, x in
                                 m.get("delta_files", {}).items()}}
 
+    def state_rows(self, name: str, version: int | None = None) -> int | None:
+        """Approximate row count of a bucketed state table at ``version``
+        from its manifest alone (base + pending delta rows; upper bound
+        — deltas may mask base rows).  No Spark action, no file I/O
+        beyond the manifest JSON.  None for snapshot-layout tables
+        (no cheap count exists there)."""
+        if not self._is_bucketed(name):
+            return None
+        man = self._load_manifest(name, version)
+        return man["base_rows"] + sum(man["delta_rows"].values())
+
     def _write_manifest(self, name: str, version: int,
                         buckets: dict[int, int],
                         deltas: list[int] | None = None,

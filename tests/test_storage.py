@@ -166,6 +166,26 @@ class TestBucketedLayout:
             results[nb] = _tables(tio)
         assert results[8] == results[128]
 
+    def test_prune_gate_by_table_size(self, spark, fixture_paths):
+        """The pruned-read path also activates at the SANDBOX bucket
+        count once the seen/nodes manifests cross
+        cfg.prune_reads_min_rows — results stay bit-identical to the
+        full-read run (a long sandbox-bucketed crawl must stop scanning
+        its whole history without re-bucketing)."""
+        results = {}
+        for label, cfg in (("off", CrawlConfig()),
+                           ("size_gated", CrawlConfig(
+                               prune_reads_min_rows=1))):
+            tio = TableIO(tempfile.mkdtemp(prefix=f"mtn_pg_{label}_"),
+                          spark, num_buckets=8)
+            run_crawl(spark, tio, _inputs(spark, fixture_paths),
+                      cfg,
+                      seeds=spark.read.parquet(
+                          fixture_paths["frontier_seed"]),
+                      max_iterations=3)
+            results[label] = _tables(tio)
+        assert results["off"] == results["size_gated"]
+
     def test_commit_io_scales_with_batch(self, spark, fixture_paths):
         """VERDICT r3 item 1 'done' criterion: with buckets sized to the
         corpus (constant rows per bucket, Iceberg-style), bytes written
