@@ -19,6 +19,12 @@ print(f"canary_pre {round(time.time() - t0, 2)}", flush=True)
 c = bench.bench_crawl(sp, corpus, timed_iterations=1)
 print(f"local[{cpus}] {c['sec_per_iteration']}s {c['urls_per_sec']} urls/s",
       flush=True)
+import json
+for it in c["iterations"]:
+    ts = sorted((it.get("timings") or {}).items(), key=lambda kv: -kv[1])
+    print(json.dumps({"iteration": it["iteration"], "sec": it["sec"],
+                      "phases": [[k, round(v, 2)] for k, v in ts]}),
+          flush=True)
 t0 = time.time()
 bench.bench_canary(sp, "/root/testdata/sf0.1")
 print(f"canary_post {round(time.time() - t0, 2)}", flush=True)
