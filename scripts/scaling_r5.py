@@ -37,7 +37,8 @@ OUT_FINAL = "/root/repo/BENCH_SCALING.json"
 QUIET_SEC = 6.0          # quiet-host canary is ~2-4 s (BENCH.md)
 DIRTY_FACTOR = 1.8       # post-canary may run slightly warm
 WAIT_SLEEP = 240         # between quiet probes
-MAX_WAIT = 8 * 3600      # give up waiting after this long
+MAX_WAIT = float(os.environ.get("MTN_LADDER_MAX_WAIT",
+                                8 * 3600))  # give up waiting after this
 LEVELS = [32, 8, 2]      # shortest rep first: least exposure to bursts
 REPS = 2
 MAX_TAKES = 4            # re-takes per (rep, level) before giving up
@@ -129,6 +130,25 @@ def have_usable(rep, level):
                for s in state["samples"])
 
 
+def take_sample(rep, level, take):
+    s = one_rep(level)
+    s["rep"] = rep
+    state["samples"].append(s)
+    mark_suspects(state["samples"])
+    save()
+    print(f"rep{rep} local[{level}] take{take}: "
+          f"{s['sec_per_iteration']}s {s['urls_per_sec']} "
+          f"urls/s canary {s['canary_pre']}/{s['canary_post']} "
+          f"clean={s['clean']} "
+          f"suspect={s.get('suspect', False)}", flush=True)
+
+
+def missing_levels():
+    good = [s for s in state["samples"] if usable(s)]
+    return [lv for lv in LEVELS
+            if not any(s["level"] == lv for s in good)]
+
+
 def main():
     deadline = time.time() + MAX_WAIT
     for rep in range(REPS):
@@ -140,19 +160,25 @@ def main():
                     print("gave up waiting for a quiet window", flush=True)
                     save()
                     return
-                s = one_rep(level)
-                s["rep"] = rep
-                state["samples"].append(s)
-                mark_suspects(state["samples"])
-                save()
-                print(f"rep{rep} local[{level}] take{take}: "
-                      f"{s['sec_per_iteration']}s {s['urls_per_sec']} "
-                      f"urls/s canary {s['canary_pre']}/{s['canary_post']} "
-                      f"clean={s['clean']} "
-                      f"suspect={s.get('suspect', False)}", flush=True)
+                take_sample(rep, level, take)
+
+    # Hunting mode: a level whose every sample got retro-marked suspect
+    # (a later lower-level sample raised the monotone floor after that
+    # level's take loop ended) gets re-taken until the deadline — the
+    # co-tenant bursts penalize high thread counts specifically, so the
+    # clean high-level window is the rare one worth waiting for.
+    hunt = 0
+    while missing_levels() and time.time() < deadline:
+        lv = missing_levels()[0]
+        if wait_quiet(deadline) is None:
+            print("gave up hunting for a quiet window", flush=True)
+            save()
+            break
+        take_sample(f"hunt{hunt}", lv, 0)
+        hunt += 1
 
     good = [s for s in state["samples"] if usable(s)]
-    if not all(any(s["level"] == lv for s in good) for lv in LEVELS):
+    if missing_levels():
         print("not every level has a usable sample; no final write",
               flush=True)
         return
