@@ -59,6 +59,10 @@ class _Extractor(HTMLParser):
         self._pos = 0
 
     def handle_starttag(self, tag, attrs):
+        # attr-dict built only for the four tags that use it — this
+        # method runs for EVERY tag in the document
+        if tag not in ("title", "meta", "link", "a"):
+            return
         a = dict(attrs)
         if tag == "title" and not self.title_done:
             self.in_title = True

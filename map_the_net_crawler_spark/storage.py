@@ -217,6 +217,13 @@ class TableIO:
     # item 7); a plain attribute write, no extra filesystem work
     last_base_read: dict | None = field(default=None, repr=False,
                                         compare=False)
+    # parsed-manifest cache keyed by path, invalidated by (mtime, size):
+    # chained delta manifests re-resolve the SAME full manifest's
+    # bucket_files every read, so the driver parses it once, not per
+    # read/commit.  Bounded; safe under the 5 merge threads (GIL-atomic
+    # dict get/set, immutable values).
+    _manifest_cache: dict = field(default_factory=dict, repr=False,
+                                  compare=False)
 
     def _table_dir(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -361,29 +368,65 @@ class TableIO:
             vs = [v for v in vs if v <= version]
         return max(vs) if vs else None
 
+    def _manifest_json(self, name: str, version: int) -> dict:
+        """Raw manifest JSON at exactly ``version`` (cached by
+        (mtime, size) — manifests are replaced atomically, so a rewrite
+        invalidates)."""
+        path = os.path.join(self._ptr_dir(name), f"v{version:06d}.json")
+        try:
+            st = os.stat(path)
+        except OSError:
+            return {}
+        key = (st.st_mtime_ns, st.st_size)
+        hit = self._manifest_cache.get(path)
+        if hit is not None and hit[0] == key:
+            return hit[1]
+        with open(path) as f:
+            m = json.load(f)
+        if len(self._manifest_cache) >= 64:
+            self._manifest_cache.clear()
+        self._manifest_cache[path] = (key, m)
+        return m
+
     def _load_manifest(self, name: str, version: int | None) -> dict:
         """{'buckets': {bucket:version}, 'deltas': [versions],
         'base_rows': int, 'delta_rows': {version:int},
         'bucket_files': {bucket:[file-stats]},
-        'delta_files': {version:[file-stats]}} as of ``version``
-        (greatest manifest ≤)."""
+        'delta_files': {version:[file-stats]},
+        '_files_ref': version|None} as of ``version`` (greatest
+        manifest ≤).
+
+        ``bucket_files`` may live in THIS manifest (a full manifest,
+        written by every bucket write) or by reference in an earlier one
+        (``bucket_files_ref`` in the O(1) stub a merge-on-read delta
+        commit writes — the bucket map only changes through full
+        writes, so the referenced stats stay valid by construction).
+        ``_files_ref`` is the version that actually carries them, for
+        the next stub to propagate."""
         v = self._manifest_version_le(name, version)
         if v is None:
             return {"buckets": {}, "deltas": [], "base_rows": 0,
                     "delta_rows": {}, "bucket_files": {},
-                    "delta_files": {}}
-        with open(os.path.join(self._ptr_dir(name), f"v{v:06d}.json")) as f:
-            m = json.load(f)
+                    "delta_files": {}, "_files_ref": None}
+        m = self._manifest_json(name, v)
+        ref = m.get("bucket_files_ref")
+        if "bucket_files" in m:
+            bf, files_ref = m["bucket_files"], v
+        elif ref is not None:
+            bf = self._manifest_json(name, int(ref)).get("bucket_files", {})
+            files_ref = int(ref)
+        else:
+            bf, files_ref = {}, None
         return {"buckets": {int(k): int(x)
                             for k, x in m["buckets"].items()},
                 "deltas": [int(x) for x in m.get("deltas", [])],
                 "base_rows": int(m.get("base_rows", 0)),
                 "delta_rows": {int(k): int(x) for k, x in
                                m.get("delta_rows", {}).items()},
-                "bucket_files": {int(k): x for k, x in
-                                 m.get("bucket_files", {}).items()},
+                "bucket_files": {int(k): x for k, x in bf.items()},
                 "delta_files": {int(k): x for k, x in
-                                m.get("delta_files", {}).items()}}
+                                m.get("delta_files", {}).items()},
+                "_files_ref": files_ref}
 
     def state_rows(self, name: str, version: int | None = None) -> int | None:
         """Approximate row count of a bucketed state table at ``version``
@@ -402,26 +445,37 @@ class TableIO:
                         base_rows: int = 0,
                         delta_rows: dict[int, int] | None = None,
                         bucket_files: dict[int, list] | None = None,
-                        delta_files: dict[int, list] | None = None) -> None:
+                        delta_files: dict[int, list] | None = None,
+                        bucket_files_ref: int | None = None) -> None:
+        """``bucket_files_ref`` (exclusive with ``bucket_files``) writes
+        an O(1) STUB: per-file stats are not inlined but referenced from
+        the given earlier full manifest — the Iceberg manifest-list
+        analogue that keeps per-iteration delta-commit metadata O(deltas)
+        instead of O(total data files).  Valid because only full bucket
+        writes (which always inline) change the bucket map."""
         os.makedirs(self._ptr_dir(name), exist_ok=True)
         path = os.path.join(self._ptr_dir(name), f"v{version:06d}.json")
         tmp = path + f".tmp{os.getpid()}"
         dset = set(deltas or [])
+        doc = {"version": version, "num_buckets": self.num_buckets,
+               "committed_at": time.time(),
+               "deltas": sorted(deltas or []),
+               "base_rows": int(base_rows),
+               "delta_rows": {str(k): int(x) for k, x in
+                              sorted((delta_rows or {}).items())},
+               "buckets": {str(k): v for k, v in
+                           sorted(buckets.items())},
+               "delta_files": {str(k): x for k, x in
+                               sorted((delta_files or {}).items())
+                               if k in dset}}
+        if bucket_files_ref is not None:
+            doc["bucket_files_ref"] = int(bucket_files_ref)
+        else:
+            doc["bucket_files"] = {str(k): x for k, x in
+                                   sorted((bucket_files or {}).items())
+                                   if k in buckets}
         with open(tmp, "w") as f:
-            json.dump({"version": version, "num_buckets": self.num_buckets,
-                       "committed_at": time.time(),
-                       "deltas": sorted(deltas or []),
-                       "base_rows": int(base_rows),
-                       "delta_rows": {str(k): int(x) for k, x in
-                                      sorted((delta_rows or {}).items())},
-                       "buckets": {str(k): v for k, v in
-                                   sorted(buckets.items())},
-                       "bucket_files": {str(k): x for k, x in
-                                        sorted((bucket_files or {}).items())
-                                        if k in buckets},
-                       "delta_files": {str(k): x for k, x in
-                                       sorted((delta_files or {}).items())
-                                       if k in dset}}, f)
+            json.dump(doc, f)
         os.replace(tmp, path)
 
     def _write_bucketed(self, name: str, df: DataFrame, version: int,
@@ -816,7 +870,9 @@ class TableIO:
                                      man["deltas"],
                                      base_rows=man["base_rows"],
                                      delta_rows=man["delta_rows"],
-                                     bucket_files=man["bucket_files"],
+                                     bucket_files=man["bucket_files"]
+                                     if man["_files_ref"] is None else None,
+                                     bucket_files_ref=man["_files_ref"],
                                      delta_files=man["delta_files"])
                 return
             pending = sum(man["delta_rows"].values())
@@ -854,10 +910,15 @@ class TableIO:
             delta_files = dict(man["delta_files"])
             if spec.get("stats_cols"):
                 delta_files[version] = _file_stats(ddir, spec["stats_cols"])
+            # O(1) stub: stats stay by reference in the last full
+            # manifest — per-iteration commit metadata is O(deltas),
+            # not O(total data files)
             self._write_manifest(name, version, man["buckets"], deltas,
                                  base_rows=man["base_rows"],
                                  delta_rows=delta_rows,
-                                 bucket_files=man["bucket_files"],
+                                 bucket_files=man["bucket_files"]
+                                 if man["_files_ref"] is None else None,
+                                 bucket_files_ref=man["_files_ref"],
                                  delta_files=delta_files)
             # bound the pending-log LENGTH too (read overlay lists every
             # pending delta dir): fold into touched buckets periodically
@@ -889,7 +950,10 @@ class TableIO:
                    .distinct().collect()]
         if not touched:
             self._write_manifest(name, version, man["buckets"], [],
-                                 base_rows=man["base_rows"])
+                                 base_rows=man["base_rows"],
+                                 bucket_files=man["bucket_files"]
+                                 if man["_files_ref"] is None else None,
+                                 bucket_files_ref=man["_files_ref"])
             return
         base = self._read_base_buckets(name, man["buckets"], schema, touched)
         keys = res.select(*spec["merge_keys"]).distinct()
@@ -977,6 +1041,14 @@ class TableIO:
                 manifests = [(int(m.group(1)), e) for e in os.listdir(pd_)
                              if (m := re.fullmatch(r"v(\d+)\.json", e))]
                 kept_m = keep_set([v for v, _ in manifests])
+                # a kept stub's bucket_files live by reference in an
+                # earlier full manifest — keep that one too
+                refs = set()
+                for v in kept_m:
+                    r = self._manifest_json(name, v).get("bucket_files_ref")
+                    if r is not None:
+                        refs.add(int(r))
+                kept_m |= refs
                 for v, e in manifests:
                     if v not in kept_m:
                         os.unlink(os.path.join(pd_, e))

@@ -14,11 +14,20 @@ Mirrors exactly what the reference does with urllib.parse:
 
 from __future__ import annotations
 
+from functools import lru_cache
 from urllib.parse import parse_qs, urlparse
 
 
+@lru_cache(maxsize=65536)
 def parse_href(href: str) -> dict:
-    """Parse one href into the fields the filter pipeline needs."""
+    """Parse one href into the fields the filter pipeline needs.
+
+    Cached: hrefs repeat heavily across a crawl batch (nav/footer links,
+    hub domains), and every caller treats the result as read-only — the
+    extract UDF and the oracle copy fields out, never mutate.  The cache
+    is per Python worker (executor-side), bounded, and keyed on the
+    exact href string, so results are bit-identical to the uncached
+    call."""
     p = urlparse(href)
     netloc = p.netloc.lower()
     domain = netloc[4:] if netloc.startswith("www.") else netloc

@@ -40,7 +40,7 @@ WAIT_SLEEP = 240         # between quiet probes
 MAX_WAIT = float(os.environ.get("MTN_LADDER_MAX_WAIT",
                                 8 * 3600))  # give up waiting after this
 LEVELS = [32, 8, 2]      # shortest rep first: least exposure to bursts
-REPS = 2
+REPS = int(os.environ.get("MTN_LADDER_REPS", 2))
 MAX_TAKES = 4            # re-takes per (rep, level) before giving up
 
 

@@ -497,3 +497,83 @@ class TestKeyedReads:
                                           schema=S.EDGES)
         assert not info["pruned"]
         assert view.count() == 1
+
+
+class TestManifestStubs:
+    """Per-iteration MERGE commits write an O(1) manifest STUB whose
+    bucket_files live by reference in the last full manifest (the
+    Iceberg manifest-list analogue): commit metadata scales with the
+    pending-delta count, never with the table's total data-file count."""
+
+    def _raw_manifest(self, tio, name, version):
+        import json
+        path = os.path.join(tio.root, name, "_ptr",
+                            f"v{version:06d}.json")
+        with open(path) as f:
+            return json.load(f), os.path.getsize(path)
+
+    def test_delta_commit_writes_stub(self, spark):
+        cfg = CrawlConfig()
+        tio = TableIO(tempfile.mkdtemp(prefix="mtn_stub_"), spark,
+                      num_buckets=16, compact_every=100,
+                      compact_ratio=1.0, compact_min_rows=10**9,
+                      stats_max_records_per_file=512)
+        tio.write("frontier", _synthetic_frontier(spark, 12_000), 0)
+        full_doc, full_bytes = self._raw_manifest(tio, "frontier", 0)
+        assert full_doc["bucket_files"], "full manifest inlines stats"
+        for v in (1, 2, 3):
+            delta = (_synthetic_frontier(spark, 50)
+                     .withColumn("url", F.concat(F.lit("http://nv"),
+                                                 F.lit(v), F.col("url")))
+                     .withColumn("discovery_seq",
+                                 F.col("discovery_seq") + 10_000 * v))
+            tio.merge_state("frontier", delta, v, v - 1)
+        for v in (1, 2, 3):
+            doc, stub_bytes = self._raw_manifest(tio, "frontier", v)
+            assert "bucket_files" not in doc, "stub must not inline"
+            assert doc["bucket_files_ref"] == 0, "ref -> last full write"
+            # the stub carries O(deltas) metadata (delta stats + bucket
+            # map), never the O(total data files) bucket_files blob
+            assert stub_bytes < full_bytes, (stub_bytes, full_bytes)
+        # resolution: reads at stub versions still see the stats
+        man = tio._load_manifest("frontier", 3)
+        assert man["bucket_files"] and man["_files_ref"] == 0
+        assert man["deltas"] == [1, 2, 3]
+        # claim file-skipping still active at a stub version
+        view, info = tio.read_claim_candidates("frontier", None,
+                                               cfg.max_items)
+        assert info["pruned"]
+        assert info["files_opened"] < info["files_total"]
+        # and the merged content is right (delta rows present)
+        got = tio.read_state("frontier", schema=S.FRONTIER)
+        assert got.filter(F.col("url").startswith("http://nv")).count() \
+            == 150
+        assert tio.state_rows("frontier") == 12_000 + 150
+        # a compaction (full bucket write) re-anchors the ref
+        tio._compact("frontier", 4)
+        man4 = tio._load_manifest("frontier", 4)
+        assert man4["_files_ref"] == 4 and man4["deltas"] == []
+
+    def test_prune_keeps_referenced_full_manifest(self, spark):
+        tio = TableIO(tempfile.mkdtemp(prefix="mtn_stubp_"), spark,
+                      num_buckets=8, compact_every=100,
+                      compact_ratio=1.0, compact_min_rows=10**9,
+                      stats_max_records_per_file=512)
+        tio.write("frontier", _synthetic_frontier(spark, 6_000), 0)
+        for v in (1, 2, 3, 4):
+            delta = (_synthetic_frontier(spark, 20)
+                     .withColumn("url", F.concat(F.lit("http://nv"),
+                                                 F.lit(v), F.col("url")))
+                     .withColumn("discovery_seq",
+                                 F.col("discovery_seq") + 10_000 * v))
+            tio.merge_state("frontier", delta, v, v - 1)
+        tio.prune(retain=1, upto=4)
+        ptr = os.path.join(tio.root, "frontier", "_ptr")
+        kept = sorted(os.listdir(ptr))
+        # the cutoff would drop v0, but stub v3/v4 reference it
+        assert "v000000.json" in kept, kept
+        man = tio._load_manifest("frontier", 4)
+        assert man["bucket_files"], "stats resolve after prune"
+        got = tio.read_state("frontier", schema=S.FRONTIER)
+        assert got.filter(F.col("url").startswith("http://nv")).count() \
+            == 80
