@@ -154,7 +154,9 @@ def apply_claim_gates(claimed: DataFrame, seen_counts: DataFrame,
 def merge_discoveries(frontier: DataFrame, discoveries: DataFrame,
                       seen_counts: DataFrame, processed_domains: DataFrame,
                       cfg: CrawlConfig, next_seq: int,
-                      iteration: int, frontier_probe=None) -> DataFrame:
+                      iteration: int, frontier_probe=None,
+                      rows_hint: int | None = None,
+                      materializer=None) -> DataFrame:
     """add_discovered_urls_to_queue (domain_collector.py:1314-1348) as a
     batch merge.
 
@@ -218,7 +220,20 @@ def merge_discoveries(frontier: DataFrame, discoveries: DataFrame,
         "clean_url", frontier_probe)
 
     seq_order = [*enqueue_order, F.col("clean_url").asc()]
-    return (assign_global_sequence(fresh, seq_order, next_seq)
+    # F-term: assign_global_sequence sizes its plan with a count — over
+    # THIS whole subtree (first-wins window + sketch probe + frontier
+    # anti-join) if handed the lazy frame.  Callers either pass
+    # ``materializer`` (df -> (scratch-backed df, exact rows): one pass
+    # snapshots the survivors with the count observed on the same write,
+    # and sequencing + the frontier-delta union downstream reuse the
+    # cheap scan) or ``rows_hint`` (an upper bound ≥ |fresh|; only used
+    # when it cannot flip the plan away from the one the exact count
+    # would pick).
+    n_hint = rows_hint
+    if materializer is not None:
+        fresh, n_hint = materializer(fresh)
+    return (assign_global_sequence(fresh, seq_order, next_seq,
+                                   rows_hint=n_hint)
             .select(
                 F.col("clean_url").alias("url"),
                 F.col("target_domain").alias("domain_name"),
@@ -236,8 +251,8 @@ def merge_discoveries(frontier: DataFrame, discoveries: DataFrame,
 
 
 def assign_global_sequence(df: DataFrame, order_cols: list,
-                           start: int, small_threshold: int = 50_000
-                           ) -> DataFrame:
+                           start: int, small_threshold: int = 50_000,
+                           rows_hint: int | None = None) -> DataFrame:
     """Assign a dense global sequence ``discovery_seq`` following a total
     order, without a single-task global window.
 
@@ -249,8 +264,15 @@ def assign_global_sequence(df: DataFrame, order_cols: list,
     property the crawl-order determinism tests pin (SURVEY.md §7.3).
 
     Falls back to one global window when the input is tiny (cheaper: no
-    extra shuffle, same result — order_cols must be a total order)."""
-    n = df.count()
+    extra shuffle, same result — order_cols must be a total order).
+
+    ``rows_hint``: a caller-known UPPER BOUND on the row count.  Both
+    branches produce the identical mapping at any actual size, so the
+    bound only picks the cheaper plan — and skips this function's own
+    sizing count, which re-executes the caller's whole upstream subtree
+    (for merge_discoveries: the first-wins window + sketch probe +
+    frontier anti-join) just to choose a branch (F-term)."""
+    n = rows_hint if rows_hint is not None else df.count()
     if n == 0:
         return df.withColumn("discovery_seq", F.lit(start).cast("long"))
     if n <= small_threshold:

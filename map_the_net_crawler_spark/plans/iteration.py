@@ -635,10 +635,29 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     # bucket-pruned to the candidates' own buckets (bit-identical — a
     # candidate can only collide inside its bucket); merge_discoveries
     # uses the frontier ONLY as that url key set
+    # sizing for merge_discoveries' sequencing plan without an extra
+    # count action over its subtree (F-term): big batches snapshot the
+    # anti-join survivors once (exact count rides the write as an
+    # Observation; sequencing + the new_pending write reuse the scan);
+    # small batches pass n_links (≥ |fresh|) as the plan hint — below
+    # the sequencer's small_threshold it provably picks the same plan
+    # the exact count would
+    def _mat_fresh(df):
+        obs_f = Observation()
+        tio.write("fresh_links",
+                  df.observe(obs_f, F.count(F.lit(1)).alias("n")),
+                  iteration)
+        return (tio.read("fresh_links", version=iteration),
+                int(obs_f.get["n"] or 0))
+
+    big_batch = n_links > cfg.valid_links_snapshot_min_rows
     new_pending = merge_discoveries(frontier_keys_view, discoveries,
                                     scounts_targets,
                                     processed_domains, cfg, next_seq,
-                                    iteration, frontier_probe) \
+                                    iteration, frontier_probe,
+                                    rows_hint=None if big_batch else n_links,
+                                    materializer=_mat_fresh if big_batch
+                                    else None) \
         .observe(obs_p, F.count(F.lit(1)).alias("n"))
     tio.write("new_pending", new_pending, iteration)
     tmr.lap("new_pending_write")

@@ -155,6 +155,73 @@ class TestGlobalSequence:
         assert small == ranged
         assert sorted(small.values()) == list(range(100, 100 + 997))
 
+    def test_rows_hint_skips_count_same_mapping(self, spark):
+        """rows_hint (an upper bound) must give the identical mapping as
+        the exact-count plan pick on both sides of the threshold."""
+        from map_the_net_crawler_spark.operators.frontier import \
+            assign_global_sequence
+        import pandas as pd
+        rows = pd.DataFrame({
+            "clean_url": [f"http://d{i % 7}.com/p{i}" for i in range(211)],
+            "source_rank": [i % 5 for i in range(211)],
+            "is_internal": [bool(i % 2) for i in range(211)],
+            "link_pos": [i % 13 for i in range(211)],
+        })
+        df = spark.createDataFrame(rows).repartition(5)
+        order = [F.col("source_rank").asc(), F.col("is_internal").desc(),
+                 F.col("link_pos").asc(), F.col("clean_url").asc()]
+        exact = {r.clean_url: r.discovery_seq for r in
+                 assign_global_sequence(df, order, 7).collect()}
+        hint_small = {r.clean_url: r.discovery_seq for r in
+                      assign_global_sequence(df, order, 7,
+                                             rows_hint=5000).collect()}
+        hint_big = {r.clean_url: r.discovery_seq for r in
+                    assign_global_sequence(df, order, 7, small_threshold=50,
+                                           rows_hint=5000).collect()}
+        assert exact == hint_small == hint_big
+
+    def test_merge_discoveries_materializer_identity(self, spark, tmp_path):
+        """merge_discoveries with a scratch-snapshot materializer (the
+        big-batch F-term path) returns row-identical new-pending output
+        to the default count-sized path."""
+        from map_the_net_crawler_spark.config import CrawlConfig
+        from map_the_net_crawler_spark.operators.frontier import \
+            merge_discoveries
+        cfg = CrawlConfig()
+        frontier = spark.createDataFrame(
+            [("http://d0.com/p0",), ("http://d1.com/p3",)], "url string")
+        disc = spark.createDataFrame(
+            [(f"http://d{i % 9}.com/p{i}", f"d{i % 9}.com", f"s{i % 4}.com",
+              0, i % 4, i % 17, bool(i % 2)) for i in range(400)],
+            "clean_url string, target_domain string, source_domain string, "
+            "src_depth int, source_rank int, link_pos int, is_internal boolean")
+        seen = spark.createDataFrame([("d1.com", 1)],
+                                     "domain_name string, seen_cnt int")
+        procd = spark.createDataFrame(
+            [("d2.com", 0, True)],
+            "domain_name string, batch_rank int, records_history boolean")
+
+        def run(materializer):
+            out = merge_discoveries(frontier, disc, seen, procd, cfg,
+                                    next_seq=500, iteration=3,
+                                    materializer=materializer)
+            return sorted(map(tuple, out.collect()))
+
+        calls = []
+
+        def mat(df):
+            p = str(tmp_path / f"fresh_{len(calls)}")
+            df.write.mode("overwrite").parquet(p)
+            out = spark.read.parquet(p)
+            calls.append(p)
+            return out, out.count()
+
+        plain = run(None)
+        snap = run(mat)
+        assert calls, "materializer engaged"
+        assert plain == snap
+        assert len(plain) > 0
+
 
 class TestExtractUdf:
     def test_byte_identical_text(self, spark, committed_fixdir):
