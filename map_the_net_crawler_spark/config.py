@@ -69,6 +69,16 @@ class CrawlConfig:
     # enable the path regardless (bucket count ∝ corpus there, so the
     # table is big by construction).
     prune_reads_min_rows: int = 250_000
+    # apply the shuffle-free Arrow-local per-(domain, salt) pre-filter
+    # ahead of the politeness rank window only when the pending input's
+    # plan-estimated size reaches this many bytes.  Below it the window
+    # shuffle is trivially cheap and the extra JVM→Python pass is pure
+    # overhead (the round-5 claim_hub_skew_salted 2× regression); above
+    # it the pre-filter bounds the window's shuffle input, which is what
+    # keeps politeness claims viable on a 10^10-row frontier.  Either
+    # path yields bit-identical claims (the pre-filter only drops rows
+    # the window provably drops — see frontier._local_domain_topk).
+    politeness_prefilter_min_bytes: int = 1 << 30
     # snapshot retention: keep this many trailing versions per state
     # table/bucket (plus the latest one at-or-before the window start so
     # reads at any retained version still resolve), pruned at commit.

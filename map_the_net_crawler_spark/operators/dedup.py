@@ -52,6 +52,23 @@ def assert_small_input(df: DataFrame, max_rows: int, op: str,
     return df
 
 
+def _spread_small(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a few-partition input up to the session's
+    default parallelism before a compute-heavy stage.
+
+    A small single-file parquet scan (one row group) plans as 1-2 input
+    partitions, serializing the shingle/md5 work on one or two cores
+    (guide §2.5 input skew / §6 input split size); the repartition moves
+    only the projected columns, so the exchange is tiny.  No-op when the
+    input already has at least defaultParallelism partitions — at real
+    scale the scan has far more splits and nothing is shuffled."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact duplicates on normalized text: one survivor (min doc_id)
     per content hash; returns (doc_id, content_hash, group_size,
@@ -96,10 +113,14 @@ def minhash_signature(docs: DataFrame, text_col: str = "text",
           .cast("long")
     h2 = F.conv(F.substring(F.md5(F.col("shingle")), 11, 10), 16, 10) \
           .cast("long")
-    sh = docs.select("doc_id",
-                     F.explode(shingles_col(F.col(text_col), shingle_n))
-                     .alias("shingle")) \
-             .select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    # project to the two needed columns BEFORE the spread so the
+    # round-robin exchange ships only (doc_id, text) — guide §2.3
+    sh = _spread_small(docs.select("doc_id",
+                                   F.col(text_col).alias("_mh_text"))) \
+        .select("doc_id",
+                F.explode(shingles_col(F.col("_mh_text"), shingle_n))
+                .alias("shingle")) \
+        .select("doc_id", h1.alias("h1"), h2.alias("h2"))
     aggs = [F.min((F.col("h1") + F.lit(p) * F.col("h2"))
                   % F.lit(MINHASH_PRIME)).alias(f"h{p}")
             for p in range(n_hashes)]
@@ -124,10 +145,20 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                 ",", *[F.col("sig")[b * rows_per_band + r].cast("string")
                        for r in range(rows_per_band)]))
             for b in range(bands)])).alias("band", "bucket"))
-    # bound hot buckets (boilerplate) before the self-join
-    bucket_sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
-    banded = (banded.join(bucket_sizes, ["band", "bucket"])
-              .filter(F.col("bsz") <= max_bucket).drop("bsz"))
+    # bound hot buckets (boilerplate) before the self-join — a window
+    # over (band, bucket) instead of the old groupBy + join-back: same
+    # counts, one shuffle of the banded rows instead of three
+    # (guide §2.4: two operations keyed the same way share one exchange)
+    w_bucket = Window.partitionBy("band", "bucket")
+    banded = (banded.withColumn("_bsz", F.count("*").over(w_bucket))
+              .filter(F.col("_bsz") <= max_bucket).drop("_bsz"))
+    # materialize the (small) banded proxy ONCE: without it, each side
+    # of the self-join below re-executes the entire scan → shingle → md5
+    # → signature pipeline (4 full corpus passes in the round-5 plan —
+    # guide §8: decide on a lightweight proxy, computed once).  The
+    # proxy is O(docs × bands) ids+hashes, ~40 bytes/row — orders of
+    # magnitude smaller than the text it derives from.
+    banded = banded.localCheckpoint()
     a = banded.select(F.col("band"), F.col("bucket"),
                       F.col("doc_id").alias("doc_a"))
     b = banded.select(F.col("band"), F.col("bucket"),
@@ -135,6 +166,10 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     cand = (a.join(b, ["band", "bucket"])
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b").distinct())
+    # candidate pairs are few (band collisions, hot buckets capped);
+    # materialize them so the verify stage can prune the corpus to
+    # candidate docs only and the id/pair frames are cheap re-scans
+    cand = cand.localCheckpoint()
     # verify with exact Jaccard over shingle sets — shingles hashed to
     # int64 (xxhash64) BEFORE the join: the pair-join payload shrinks
     # ~10× vs shipping raw n-gram strings and array_intersect on longs
@@ -142,14 +177,27 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     # the bottleneck).  Intersection/union COUNTS are identical modulo
     # 2^-64 hash collisions; the DuckDB oracle computes the same counts
     # on the raw string sets.
-    sh = docs.select("doc_id",
-                     F.transform(shingles_col(F.col(text_col), shingle_n),
-                                 lambda s: F.xxhash64(s)).alias("shingles"))
-    cand = (cand
-            .join(sh.select(F.col("doc_id").alias("doc_a"),
-                            F.col("shingles").alias("sh_a")), "doc_a")
-            .join(sh.select(F.col("doc_id").alias("doc_b"),
-                            F.col("shingles").alias("sh_b")), "doc_b"))
+    #
+    # Only CANDIDATE docs pay the verify shingle pass: the join below
+    # can only keep doc_ids present in cand, so semi-joining docs to the
+    # candidate id set first is result-identical and turns the verify
+    # from two full-corpus shingle passes into two candidate-only ones.
+    ids = (cand.select(F.col("doc_a").alias("doc_id"))
+           .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+           .distinct())
+    n_ids = ids.count()          # tiny job over the checkpointed pairs
+    id_side = F.broadcast(ids) if n_ids <= 2_000_000 else ids
+    cdocs = docs.join(id_side, "doc_id", "left_semi")
+    sh = _spread_small(cdocs.select("doc_id",
+                                    F.col(text_col).alias("_mh_text"))) \
+        .select("doc_id",
+                F.transform(shingles_col(F.col("_mh_text"), shingle_n),
+                            lambda s: F.xxhash64(s)).alias("shingles"))
+    cand = (F.broadcast(cand) if n_ids <= 2_000_000 else cand) \
+        .join(sh.select(F.col("doc_id").alias("doc_a"),
+                        F.col("shingles").alias("sh_a")), "doc_a") \
+        .join(sh.select(F.col("doc_id").alias("doc_b"),
+                        F.col("shingles").alias("sh_b")), "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
