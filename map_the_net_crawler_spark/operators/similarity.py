@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
+from .dedup import _spread_small
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -127,8 +129,12 @@ def brute_force_cosine_topk(queries: DataFrame, corpus: DataFrame,
                                     "neighbor_id": n_ids[idx],
                                     "cosine": row[idx]})
 
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("vec"))
+    # spread the small single-file corpus scan across cores before the
+    # numpy kernel (guide §2.5/§6: a 1-2 partition scan serializes the
+    # matmul); result-identical — every global top-k row survives its
+    # partition's local top-(k+1) under the same rounded total order
+    c = _spread_small(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                    F.col(vec_col).alias("vec")))
     scored = (c.mapInPandas(score, out_schema)
               .filter(F.col("query_id") != F.col("neighbor_id")))
     return _rank_topk(scored, k)
@@ -197,8 +203,13 @@ def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, dim: int,
                          sig(F.col(vec_col)).alias("bucket"))
 
     q = with_sig(queries, "query_id", "q_vec")
-    c = with_sig(corpus, "neighbor_id", "c_vec")
-    scored = (q.join(c, "bucket")
+    # spread the corpus scan so the signature UDF runs on all cores
+    c = with_sig(_spread_small(corpus.select(id_col, vec_col)),
+                 "neighbor_id", "c_vec")
+    # the query side is broadcast-sized by contract (brute force
+    # collects it to the driver outright) — broadcasting it makes the
+    # bucket join shuffle-free on the corpus side (guide §3.1)
+    scored = (F.broadcast(q).join(c, "bucket")
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
                       F.round(cosine_pairs_pd(F.col("q_vec"), F.col("c_vec")), 6)
@@ -215,8 +226,11 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int,
     pick the DuckDB oracle makes); cell assignment by max cosine
     (rounded to 6, ties to the lower cell id); queries probe the
     ``nprobe`` nearest cells."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec"))
+    # spread the corpus scan so the centroid pick + assign UDF
+    # parallelize (deterministic under any partitioning — the pick is a
+    # global orderBy, the assignment row-wise)
+    c = _spread_small(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                    F.col(vec_col).alias("c_vec")))
     cent_rows = (c.withColumn("_h", F.md5(F.col("neighbor_id").cast("string")))
                  .orderBy("_h", "neighbor_id").limit(n_cells)
                  .select("c_vec").collect())
@@ -244,7 +258,8 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int,
     q_assigned = q.withColumn("cell",
                               F.explode(assign(F.col("q_vec"))))
 
-    scored = (q_assigned.join(c_assigned, "cell")
+    # query side broadcast-sized by contract — shuffle-free cell join
+    scored = (F.broadcast(q_assigned).join(c_assigned, "cell")
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
                       F.round(cosine_pairs_pd(F.col("q_vec"), F.col("c_vec")), 6)
