@@ -10,7 +10,8 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "map_the_net_crawler_spark",
               master: str | None = None,
               shuffle_partitions: int | None = None,
-              codegen: bool = True) -> SparkSession:
+              codegen: bool = True,
+              extra_conf: dict | None = None) -> SparkSession:
     master = master or os.environ.get("SPARK_MASTER",
                                       f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
     cores = master.split("[")[-1].rstrip("]") if "[" in master else "32"
@@ -37,5 +38,6 @@ def get_spark(app_name: str = "map_the_net_crawler_spark",
         # local mode = driver-only JVM: size the heap for cores × task
         # buffers (8g with 32 concurrent tasks GC-thrashes on wide rows)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config(map=dict(extra_conf or {}))
         .getOrCreate()
     )
