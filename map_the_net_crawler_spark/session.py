@@ -25,6 +25,13 @@ def get_spark(app_name: str = "map_the_net_crawler_spark",
         .master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(sp))
+        # broadcast sides up to 64 MB (default 10m): the decision stays
+        # estimate-driven so corpus-scale sides still sort-merge, while
+        # mid-size key sets (a few-hundred-k-row anti-join side) skip
+        # the shuffle; executors are sized for it (guide §3.1/§9).
+        # Env-overridable for clusters with small executors.
+        .config("spark.sql.autoBroadcastJoinThreshold",
+                os.environ.get("MTN_AUTO_BROADCAST", "64m"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
