@@ -45,12 +45,36 @@ def _inputs(spark, corpus):
 
 
 def probe_claim_io(spark) -> list[dict]:
-    """3 bucketed iterations over the 300-domain corpus at a scale-sized
-    bucket count; report each iteration's claim_io."""
+    """3 bucketed iterations over the 300-domain corpus with a 50k-row
+    priority-0 filler frontier (the frontier-growth shape: most files
+    hold only never-claimed rows, so skipping has files to skip);
+    report each iteration's claim_io."""
+    from pyspark.sql import functions as F
+
+    from map_the_net_crawler_spark.operators.frontier import \
+        DISCOVERY_TS_BASE
     corpus = bench.bench_corpus(0.006)
     run_dir = tempfile.mkdtemp(prefix="mtn_claimio_")
-    tio = TableIO(run_dir, spark, num_buckets=64)
+    tio = TableIO(run_dir, spark, num_buckets=8,
+                  stats_max_records_per_file=1024)
     seeds = spark.read.parquet(f"{corpus}/frontier_seed.parquet")
+    max_seq = seeds.agg(F.max("discovery_seq")).collect()[0][0]
+    filler = spark.range(50_000).select(
+        F.concat(F.lit("http://filler-"), F.col("id"),
+                 F.lit(".zz")).alias("url"),
+        F.concat(F.lit("filler-"), F.col("id"), F.lit(".zz"))
+        .alias("domain_name"),
+        F.lit(None).cast("string").alias("source_domain"),
+        F.lit(0).alias("priority"),
+        F.lit("pending").alias("status"),
+        (F.col("id") + max_seq + 1).alias("discovery_seq"),
+        F.lit(DISCOVERY_TS_BASE.replace(tzinfo=None))
+        .cast("timestamp").alias("discovery_ts"),
+        F.lit(0).alias("depth"),
+        F.lit(None).cast("string").alias("error_message"),
+        F.lit(None).cast("int").alias("processed_iteration"))
+    seeds = seeds.unionByName(
+        filler.select(*[f.name for f in S.FRONTIER.fields]))
     cfg = CrawlConfig(max_items=50)
     next_seq = init_run(spark, tio, seeds)
     out = []
@@ -63,44 +87,57 @@ def probe_claim_io(spark) -> list[dict]:
     return out
 
 
-def politeness_ab(spark, corpus, budget=8, salt_buckets=16) -> dict:
+def politeness_ab(spark, corpus, budget=8, salt_buckets=16,
+                  reps=2) -> dict:
     """Same corpus, same claim semantics: pre-filter FORCED (r5) vs
-    SIZE-GATED (r6)."""
+    SIZE-GATED (r6).  Interleaved reps, min per variant — a single
+    sample per variant is inside this host's run-to-run noise."""
     out = {}
-    for label, min_bytes in (("prefilter_forced", 0),
-                             ("size_gated", None)):
-        kw = {} if min_bytes is None else {
-            "politeness_prefilter_min_bytes": min_bytes}
-        cfg = CrawlConfig(max_items=1_000_000, **kw)
-        run_dir = tempfile.mkdtemp(prefix="mtn_polab_")
-        pages = spark.read.parquet(f"{corpus}/pages.parquet")
-        from pyspark.sql import Window
-        from pyspark.sql import functions as F
-        seeds = pages.select(
-            F.col("url"),
-            F.regexp_replace("url", "^http://", "").alias("domain_name"),
-            F.lit(None).cast("string").alias("source_domain"),
-            F.lit(1).alias("priority"),
-            F.lit("pending").alias("status"),
-            (F.row_number().over(Window.orderBy("url")) - 1)
-            .cast("long").alias("discovery_seq"),
-            F.col("warc_ts").alias("discovery_ts"),
-            F.lit(0).alias("depth"),
-            F.lit(None).cast("string").alias("error_message"),
-            F.lit(None).cast("int").alias("processed_iteration"))
-        tio = TableIO(run_dir, spark,
-                      num_buckets=max(8, pages.count() // 25_000))
-        next_seq = init_run(spark, tio, seeds)
-        t0 = time.time()
-        r = run_iteration(spark, tio, _inputs(spark, corpus), cfg, 1,
-                          next_seq, politeness_budget=budget,
-                          salt_buckets=salt_buckets)
-        out[label] = {"sec": round(time.time() - t0, 2),
-                      "claimed": r.claimed}
-        shutil.rmtree(run_dir, ignore_errors=True)
+    for rep in range(reps):
+        for label, min_bytes in (("prefilter_forced", 0),
+                                 ("size_gated", None)):
+            s = _politeness_once(spark, corpus, budget, salt_buckets,
+                                 min_bytes)
+            ent = out.setdefault(label, {"claimed": s["claimed"],
+                                         "all_sec": []})
+            ent["all_sec"].append(s["sec"])
+            assert ent["claimed"] == s["claimed"]
+    for ent in out.values():
+        ent["sec"] = min(ent["all_sec"])
     assert out["prefilter_forced"]["claimed"] == \
         out["size_gated"]["claimed"], "politeness A/B claimed sets differ"
     return out
+
+
+def _politeness_once(spark, corpus, budget, salt_buckets, min_bytes):
+    kw = {} if min_bytes is None else {
+        "politeness_prefilter_min_bytes": min_bytes}
+    cfg = CrawlConfig(max_items=1_000_000, **kw)
+    run_dir = tempfile.mkdtemp(prefix="mtn_polab_")
+    pages = spark.read.parquet(f"{corpus}/pages.parquet")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    seeds = pages.select(
+        F.col("url"),
+        F.regexp_replace("url", "^http://", "").alias("domain_name"),
+        F.lit(None).cast("string").alias("source_domain"),
+        F.lit(1).alias("priority"),
+        F.lit("pending").alias("status"),
+        (F.row_number().over(Window.orderBy("url")) - 1)
+        .cast("long").alias("discovery_seq"),
+        F.col("warc_ts").alias("discovery_ts"),
+        F.lit(0).alias("depth"),
+        F.lit(None).cast("string").alias("error_message"),
+        F.lit(None).cast("int").alias("processed_iteration"))
+    tio = TableIO(run_dir, spark,
+                  num_buckets=max(8, pages.count() // 25_000))
+    next_seq = init_run(spark, tio, seeds)
+    t0 = time.time()
+    r = run_iteration(spark, tio, _inputs(spark, corpus), cfg, 1,
+                      next_seq, politeness_budget=budget,
+                      salt_buckets=salt_buckets)
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return {"sec": round(time.time() - t0, 2), "claimed": r.claimed}
 
 
 def main():

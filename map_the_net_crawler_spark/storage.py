@@ -209,6 +209,10 @@ class TableIO:
     # batches the ratio never trips and commits stay O(batch).  Row
     # counts ride the writes as Observations — no extra actions.
     compact_ratio: float = 0.25
+    # floor for the size trigger (a raised floor was A/B-tested in
+    # round 6: leaving small deltas in the log makes every downstream
+    # read pay the overlay window repeatedly — folding eagerly is
+    # cheaper at any scale where the delta is a sizable base share)
     compact_min_rows: int = 4096
     # split stats-tracked bucket writes into files of at most this many
     # rows (parquet maxRecordsPerFile): the file-skipping granularity of

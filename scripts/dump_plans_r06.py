@@ -70,4 +70,48 @@ cfg = CrawlConfig(max_items=1000)
 dump("claim_politeness_salted",
      claim_batch(frontier, cfg, politeness_budget=8, salt_buckets=16))
 
+# discovery merge (first-wins window + frontier anti-join) over a
+# synthetic frontier/discovery pair shaped like the bench corpus
+import tempfile  # noqa: E402
+
+from map_the_net_crawler_spark.operators.frontier import \
+    merge_discoveries  # noqa: E402
+
+d = tempfile.mkdtemp(prefix="plans_r06_")
+# bench-scale frontier (~15 MB parquet): over the 10m default
+# threshold, under the round-6 64m one — the plan pair shows the
+# anti-join flip SortMergeJoin -> BroadcastHashJoin LeftAnti
+big_frontier = spark.range(2_000_000).select(
+    F.concat(F.lit("http://d"), F.col("id") % 200_000, F.lit(".com/p"),
+             F.col("id")).alias("url"),
+    F.concat(F.lit("d"), F.col("id") % 200_000, F.lit(".com"))
+    .alias("domain_name"),
+    F.lit(None).cast("string").alias("source_domain"),
+    F.lit(1).alias("priority"),
+    F.lit("pending").alias("status"),
+    F.col("id").alias("discovery_seq"),
+    F.lit(None).cast("timestamp").alias("discovery_ts"),
+    F.lit(0).alias("depth"),
+    F.lit(None).cast("string").alias("error_message"),
+    F.lit(None).cast("int").alias("processed_iteration"))
+big_frontier.write.mode("overwrite").parquet(f"{d}/frontier")
+fr = spark.read.parquet(f"{d}/frontier")
+disc = spark.range(5_000).select(
+    F.concat(F.lit("http://t"), F.col("id") % 800, F.lit(".com/p"),
+             F.col("id")).alias("clean_url"),
+    F.concat(F.lit("t"), F.col("id") % 800, F.lit(".com"))
+    .alias("target_domain"),
+    F.concat(F.lit("d"), F.col("id") % 500, F.lit(".com"))
+    .alias("source_domain"),
+    F.lit(0).alias("src_depth"),
+    (F.col("id") % 100 + 1).cast("int").alias("source_rank"),
+    (F.col("id") % 2 == 0).alias("is_internal"),
+    (F.col("id") % 40).cast("int").alias("link_pos"))
+scounts = spark.createDataFrame([], "domain_name string, seen_cnt long")
+procd = spark.createDataFrame(
+    [], "domain_name string, batch_rank int, records_history boolean")
+dump("merge_discoveries",
+     merge_discoveries(fr, disc, scounts, procd, cfg, next_seq=10_000,
+                       iteration=2, rows_hint=5_000))
+
 spark.stop()
