@@ -52,7 +52,7 @@ def assert_small_input(df: DataFrame, max_rows: int, op: str,
     return df
 
 
-def _spread_small(df: DataFrame) -> DataFrame:
+def spread_small(df: DataFrame) -> DataFrame:
     """Round-robin repartition a few-partition input up to the session's
     default parallelism before a compute-heavy stage.
 
@@ -61,12 +61,21 @@ def _spread_small(df: DataFrame) -> DataFrame:
     (guide §2.5 input skew / §6 input split size); the repartition moves
     only the projected columns, so the exchange is tiny.  No-op when the
     input already has at least defaultParallelism partitions — at real
-    scale the scan has far more splits and nothing is shuffled."""
+    scale the scan has far more splits and nothing is shuffled.
+
+    CALLER CONTRACT: pass a scan-rooted projection (no joins/aggregates
+    upstream).  The partition probe materializes the RDD plan, and with
+    AQE that EXECUTES any exchange stages the frame contains — for a
+    pure scan there are none, so the probe is free."""
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= p:
         return df
     return df.repartition(p)
+
+
+# backwards-compatible private alias (pre-round-6 name)
+_spread_small = spread_small
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -157,7 +166,12 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     # → signature pipeline (4 full corpus passes in the round-5 plan —
     # guide §8: decide on a lightweight proxy, computed once).  The
     # proxy is O(docs × bands) ids+hashes, ~40 bytes/row — orders of
-    # magnitude smaller than the text it derives from.
+    # magnitude smaller than the text it derives from.  localCheckpoint
+    # is non-reliable storage: an executor loss fails the query and the
+    # caller re-runs it from the deterministic inputs — the standard
+    # batch-dedup trade (a reliable checkpoint would need a configured
+    # checkpoint dir; a scratch-table write is the alternative if a
+    # deployment needs mid-query fault tolerance).
     banded = banded.localCheckpoint()
     a = banded.select(F.col("band"), F.col("bucket"),
                       F.col("doc_id").alias("doc_a"))
@@ -185,15 +199,22 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     ids = (cand.select(F.col("doc_a").alias("doc_id"))
            .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
            .distinct())
-    n_ids = ids.count()          # tiny job over the checkpointed pairs
+    # both counts are tiny jobs over the checkpointed pairs; the PAIR
+    # count gates the pair-side broadcast separately — hot buckets can
+    # make pairs orders of magnitude more numerous than distinct ids
+    n_ids = ids.count()
+    n_cand = cand.count()
     id_side = F.broadcast(ids) if n_ids <= 2_000_000 else ids
-    cdocs = docs.join(id_side, "doc_id", "left_semi")
-    sh = _spread_small(cdocs.select("doc_id",
-                                    F.col(text_col).alias("_mh_text"))) \
+    # spread the scan-rooted projection FIRST, then semi-join: identical
+    # rows, and the partition probe never sees (hence never pre-executes)
+    # the join's exchange stages
+    sh = spread_small(docs.select("doc_id",
+                                  F.col(text_col).alias("_mh_text"))) \
+        .join(id_side, "doc_id", "left_semi") \
         .select("doc_id",
                 F.transform(shingles_col(F.col("_mh_text"), shingle_n),
                             lambda s: F.xxhash64(s)).alias("shingles"))
-    cand = (F.broadcast(cand) if n_ids <= 2_000_000 else cand) \
+    cand = (F.broadcast(cand) if n_cand <= 2_000_000 else cand) \
         .join(sh.select(F.col("doc_id").alias("doc_a"),
                         F.col("shingles").alias("sh_a")), "doc_a") \
         .join(sh.select(F.col("doc_id").alias("doc_b"),

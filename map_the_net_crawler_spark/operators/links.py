@@ -26,17 +26,23 @@ from ..functions import classify as C
 from ..functions import filters as X
 
 
-def filter_links(links: DataFrame) -> DataFrame:
-    """F1-F10 + netloc/validity re-checks (domain_collector.py:979-998)."""
+def link_survives() -> "F.Column":
+    """The F1-F10 + netloc/format survival test as ONE boolean Column
+    over the standard link-row columns — the single source of truth for
+    link survival, used by filter_links AND precomputed into the
+    iteration's extract snapshot (plans/iteration.py `_link_ok`), so
+    the two paths cannot drift."""
     reason = X.url_exclusion_reason(
         F.col("href"), F.col("link_text"), F.col("href_netloc"),
         F.col("href_path"), F.col("n_query_params"), F.col("param_names"))
-    return (links
-            .withColumn("exclusion_reason", reason)
-            .filter(F.col("exclusion_reason").isNull())
-            .filter(F.col("target_domain") != "")
-            .filter(X.domain_format_valid(F.col("target_domain")))
-            .drop("exclusion_reason"))
+    return (reason.isNull()
+            & (F.col("target_domain") != "")
+            & X.domain_format_valid(F.col("target_domain")))
+
+
+def filter_links(links: DataFrame) -> DataFrame:
+    """F1-F10 + netloc/validity re-checks (domain_collector.py:979-998)."""
+    return links.filter(link_survives())
 
 
 def link_exclusion_stats(links: DataFrame) -> DataFrame:

@@ -34,7 +34,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
-from .dedup import _spread_small
+from .dedup import spread_small as _spread_small
+from .frontier import _estimated_bytes
+
+# broadcast the query side of the bucket/cell joins only while its
+# optimizer size estimate stays under this bound — the contract says
+# queries are broadcast-sized, but an oversized caller should degrade
+# to a shuffle join, not OOM the driver (the estimate is driver-side
+# plan statistics; no job)
+_QUERY_BROADCAST_MAX_BYTES = 256 * 2**20
+
+
+def _maybe_broadcast(df: DataFrame) -> DataFrame:
+    if _estimated_bytes(df) <= _QUERY_BROADCAST_MAX_BYTES:
+        return F.broadcast(df)
+    return df
 
 
 def _dot(a, b):
@@ -208,8 +222,10 @@ def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, dim: int,
                  "neighbor_id", "c_vec")
     # the query side is broadcast-sized by contract (brute force
     # collects it to the driver outright) — broadcasting it makes the
-    # bucket join shuffle-free on the corpus side (guide §3.1)
-    scored = (F.broadcast(q).join(c, "bucket")
+    # bucket join shuffle-free on the corpus side (guide §3.1); size-
+    # gated so an oversized caller degrades to a shuffle join instead
+    # of OOMing
+    scored = (_maybe_broadcast(q).join(c, "bucket")
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
                       F.round(cosine_pairs_pd(F.col("q_vec"), F.col("c_vec")), 6)
@@ -259,7 +275,8 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int,
                               F.explode(assign(F.col("q_vec"))))
 
     # query side broadcast-sized by contract — shuffle-free cell join
-    scored = (F.broadcast(q_assigned).join(c_assigned, "cell")
+    # (size-gated, see _maybe_broadcast)
+    scored = (_maybe_broadcast(q_assigned).join(c_assigned, "cell")
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
                       F.round(cosine_pairs_pd(F.col("q_vec"), F.col("c_vec")), 6)

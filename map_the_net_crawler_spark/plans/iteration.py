@@ -122,6 +122,27 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
                   cfg: CrawlConfig, iteration: int, next_seq: int,
                   politeness_budget: int = 0,
                   salt_buckets: int = 1) -> IterationResult:
+    """Wrapper owning the iteration's background-job pool: whatever the
+    body raises, every in-flight concurrent write/merge is JOINED before
+    the exception propagates — no unsupervised background job can keep
+    writing run state while a caller unwinds (and cleans up the run
+    dir), and no background failure is silently dropped while the body
+    succeeds (the body joins its futures before the meta commit)."""
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=5)
+    try:
+        return _run_iteration_impl(spark, tio, inputs, cfg, iteration,
+                                   next_seq, politeness_budget,
+                                   salt_buckets, pool)
+    finally:
+        pool.shutdown(wait=True)
+
+
+def _run_iteration_impl(spark: SparkSession, tio: TableIO,
+                        inputs: CrawlInputs, cfg: CrawlConfig,
+                        iteration: int, next_seq: int,
+                        politeness_budget: int, salt_buckets: int,
+                        _pool) -> IterationResult:
     tmr = _Timer()
     # read every state table at the PREVIOUS iteration's version: the
     # run meta (written last) is the single commit point, so a crash
@@ -278,21 +299,16 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     # domain yields exactly one metadata row (link_pos == -1), so n_meta
     # == countDistinct(domain) with gate_status='process'
     obs_e = Observation()
-    from ..functions import filters as X
+    from ..operators.links import link_survives
     # F1-F10 link survival fused into the extract snapshot: ONE regex
     # pass rides the extract write, so the valid-link view downstream is
     # a null-check scan of this parquet — round 5 either paid a second
     # batch-sized write (valid_links) or re-ran the 30-alternation
     # regexes on every one of build_relationships' ~4 subtree references
-    # (guide §1.2: don't compute things twice).  Exactly filter_links'
-    # predicate (pinned by tests): reason IS NULL AND target != '' AND
-    # domain-format-valid.
-    _link_ok = (X.url_exclusion_reason(
-        F.col("href"), F.col("link_text"), F.col("href_netloc"),
-        F.col("href_path"), F.col("n_query_params"),
-        F.col("param_names")).isNull()
-        & (F.col("target_domain") != "")
-        & X.domain_format_valid(F.col("target_domain")))
+    # (guide §1.2: don't compute things twice).  link_survives() is the
+    # same Column filter_links applies (shared definition + pinned by
+    # tests), so the fused column cannot drift from the operator.
+    _link_ok = link_survives()
     extracted = extract_pages(
         fetched.select("url", "domain_name", "html")
         .repartition(n_part, "url")) \
@@ -372,9 +388,8 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     # enrichment dims — nothing from the link pipeline — so it runs as a
     # concurrent job UNDER the whole rels chain (guide §2.6 overlap
     # independent jobs; VERDICT r5 'Next round' #1a: extend the 2-thread
-    # pool to the scratch-write DAG)
-    from concurrent.futures import ThreadPoolExecutor
-    _pool = ThreadPoolExecutor(max_workers=5)
+    # pool to the scratch-write DAG).  _pool is owned (and always
+    # joined) by the run_iteration wrapper.
     f_nodes_batch = _pool.submit(tio.write, "nodes_batch", full_updates,
                                  iteration)
     # slim projection: dragging the full extract schema through the
@@ -566,7 +581,14 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     # back-fill executors the chain's stragglers leave idle).  The
     # frontier merge still waits for new_pending, and the run meta —
     # the single commit point — is written only after every merge
-    # returned, so crash atomicity is unchanged.
+    # returned, so crash atomicity is unchanged for version-pinned
+    # readers (the crawl loop always reads at the meta version; a crash
+    # mid-iteration leaves per-table version-N artifacts that the
+    # resumed iteration overwrites).  NOTE for debug tooling: an
+    # UNPINNED latest-version read (read_outputs) taken between a
+    # mid-iteration crash and the resume can see version-N
+    # seen/nodes/edges next to the version-N-1 frontier — a window the
+    # old end-of-iteration fan-out also had, just narrower.
     # delta-size hints: UPPER BOUNDS from counts the iteration already
     # observed, so merge_state skips its sizing action (hints only steer
     # the compaction bookkeeping — overestimates are safe, and a 0 hint
@@ -760,7 +782,6 @@ def run_iteration(spark: SparkSession, tio: TableIO, inputs: CrawlInputs,
     finally:
         for f in commit_futs:
             f.result()
-        _pool.shutdown()
     tmr.lap("tables_commit")
     run_meta = {"iteration": iteration, "next_seq": next_seq + n_new}
     if new_sk_meta is not None:
